@@ -1,0 +1,115 @@
+"""Golden tests for correlation ops against torch re-implementations of the
+reference semantics (wrapper.py:41-50 fallback, raft_core.py:52-107)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from camliflow_tpu import ops  # noqa: E402
+
+
+def torch_correlation2d(input1, input2, max_displacement):
+    """PyTorch fallback (wrapper.py:41-50), channel-first."""
+    height, width = input1.shape[2:]
+    input2 = F.pad(input2, [max_displacement] * 4)
+    cost_volumes = []
+    for i in range(2 * max_displacement + 1):
+        for j in range(2 * max_displacement + 1):
+            cost = input1 * input2[:, :, i : (i + height), j : (j + width)]
+            cost_volumes.append(torch.mean(cost, 1, keepdim=True))
+    return torch.cat(cost_volumes, 1)
+
+
+@pytest.mark.parametrize("d", [1, 4])
+def test_correlation2d_matches_torch(rng, d):
+    f1 = rng.randn(2, 10, 14, 8).astype(np.float32)
+    f2 = rng.randn(2, 10, 14, 8).astype(np.float32)
+    got = np.asarray(ops.correlation2d(jnp.asarray(f1), jnp.asarray(f2), d))
+    want = (
+        torch_correlation2d(
+            torch.from_numpy(f1.transpose(0, 3, 1, 2)),
+            torch.from_numpy(f2.transpose(0, 3, 1, 2)),
+            d,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    assert got.shape == want.shape == (2, 10, 14, (2 * d + 1) ** 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def torch_corr_pyramid_and_lookup(fmap1, fmap2, coords, num_levels=4, radius=4):
+    """Reference RAFT lookup (raft_core.py:52-107), channel-first inputs."""
+    bs, dim, h, w = fmap1.shape
+    f1 = fmap1.view(bs, dim, h * w)
+    f2 = fmap2.view(bs, dim, h * w)
+    cost = torch.matmul(f1.transpose(1, 2), f2) / torch.sqrt(torch.tensor(float(dim)))
+    cost = cost.reshape(bs * h * w, 1, h, w)
+    pyramid = [cost]
+    for _ in range(num_levels - 1):
+        cost = F.avg_pool2d(cost, 2, stride=2)
+        pyramid.append(cost)
+
+    coords = coords.permute(0, 2, 3, 1)  # [bs, h, w, 2]
+    r = radius
+    out_pyramid = []
+    for i in range(num_levels):
+        corr = pyramid[i]
+        dx = torch.linspace(-r, r, 2 * r + 1)
+        dy = torch.linspace(-r, r, 2 * r + 1)
+        delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), axis=-1)
+        centroid = coords.reshape(bs * h * w, 1, 1, 2) / 2**i
+        coords_lvl = centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+        hh, ww = corr.shape[-2:]
+        xgrid, ygrid = coords_lvl.split([1, 1], dim=-1)
+        xgrid = 2 * xgrid / (ww - 1) - 1
+        ygrid = 2 * ygrid / (hh - 1) - 1
+        grid = torch.cat([xgrid, ygrid], dim=-1)
+        # NOTE reference meshgrid(dy, dx) gives delta[...,0]=dy delta[...,1]=dx,
+        # but split takes [...,0] as xgrid. This quirk IS the reference
+        # behaviour (raft_core.py:79-85,100-104): the window offsets enter as
+        # (dy->x, dx->y), which is symmetric since dx==dy ranges. Replicated
+        # faithfully here.
+        sampled = F.grid_sample(corr, grid, align_corners=True)
+        out_pyramid.append(sampled.view(bs, h, w, -1))
+    out = torch.cat(out_pyramid, dim=-1)
+    return out.permute(0, 3, 1, 2).contiguous()
+
+
+def test_all_pairs_pyramid_shapes(rng):
+    f1 = rng.randn(2, 8, 12, 16).astype(np.float32)
+    f2 = rng.randn(2, 8, 12, 16).astype(np.float32)
+    pyr = ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 4)
+    assert len(pyr) == 4
+    assert pyr[0].shape == (2 * 8 * 12, 8, 12, 1)
+    assert pyr[1].shape == (2 * 8 * 12, 4, 6, 1)
+    assert pyr[3].shape == (2 * 8 * 12, 1, 1, 1)
+
+
+def test_corr_lookup_matches_torch(rng):
+    f1 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    f2 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    flow = rng.uniform(-2, 2, size=(1, 8, 8, 2)).astype(np.float32)
+    grid = np.asarray(ops.mesh_grid(1, 8, 8))
+    coords = grid + flow
+
+    pyr = ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3)
+    got = np.asarray(ops.corr_lookup_2d(pyr, jnp.asarray(coords), radius=2))
+
+    tcoords = torch.from_numpy(coords.transpose(0, 3, 1, 2))
+    want = (
+        torch_corr_pyramid_and_lookup(
+            torch.from_numpy(f1.transpose(0, 3, 1, 2)),
+            torch.from_numpy(f2.transpose(0, 3, 1, 2)),
+            tcoords,
+            num_levels=3,
+            radius=2,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    assert got.shape == want.shape == (1, 8, 8, 3 * 25)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
