@@ -1,0 +1,376 @@
+"""CamLiRAFT-L: LiDAR-only iterative scene-flow model (point-space RAFT).
+
+Reference semantics: models/camliraft_l_core.py (Encoder3D, Correlation3D,
+MotionEncoder3D, GRU3D, FlowHead3D, CamLiRAFT_L_Core) and models/camliraft_l.py
+(IDS gating, domain alignment, sequence loss).
+
+TPU-first design departures:
+- The GRU refinement loop is a `nn.scan` (lax.scan) over iterations, so XLA
+  reuses buffers instead of unrolling 10-20 copies of the graph. Per-iteration
+  flow detach (camliraft_l_core.py:200-201) becomes stop_gradient at the top
+  of the scan body.
+- The final knn-interpolation to the full cloud shares one KNN + weight
+  computation across all iterations (the query/support sets never change),
+  instead of re-running KNN per iteration.
+- Cost-volume pyramid construction is a parameter-free function; the all-pairs
+  [B, 2048, 2048] volume is a single f32 MXU matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import (
+    backwarp_3d,
+    build_pc_pyramid,
+    gather_points,
+    k_nearest_neighbor,
+    knn_interpolation,
+)
+from ..ops.ids import make_parallel_camera_info, paral2persp, persp2paral
+from ..nn.layers import MLP, DenseNormAct
+from ..nn.point_conv import PointConv, PointConvDW
+from .losses import calc_sequence_loss
+from .metrics import compute_3d_metrics, merge_metrics, scalar_metric
+
+
+class Encoder3D(nn.Module):
+    """3-level point feature encoder (camliraft_l_core.py:8-37)."""
+
+    n_channels: tuple[int, ...] = (64, 96, 128)
+    norm: str | None = "batch_norm"
+    k: int = 16
+
+    @nn.compact
+    def __call__(self, xyzs: list[jax.Array], train: bool = False) -> list[jax.Array]:
+        c = self.n_channels
+        feats = [MLP([c[0], c[0]], name="level0_mlp")(xyzs[0], train=train)]
+        for i in range(len(c) - 1):
+            feat = MLP([c[i], c[i + 1]], name=f"mlp_{i}")(feats[-1], train=train)
+            feat = PointConv(
+                c[i + 1], norm=self.norm, k=self.k, name=f"conv_{i}"
+            )(xyzs[i], feat, xyzs[i + 1], train=train)
+            feats.append(feat)
+        return feats
+
+
+def build_cost_volume_pyramid_3d(
+    feat1: jax.Array, feat2: jax.Array, xyzs2: list[jax.Array], k: int = 3
+) -> list[jax.Array]:
+    """All-pairs cost + KNN-avg pooled pyramid (camliraft_l_core.py:51-60).
+
+    feat1/feat2: [B, N, C] at the finest correlation level; xyzs2: the 4
+    frame-2 levels. Returns [B, N, M_i] volumes.
+    """
+    dim = feat1.shape[-1]
+    cost = jnp.einsum(
+        "bnc,bmc->bnm",
+        feat1.astype(jnp.float32),
+        feat2.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) / dim
+    pyramid = [cost]
+    for i in range(1, len(xyzs2)):
+        knn_indices = k_nearest_neighbor(xyzs2[i - 1], xyzs2[i], k=k)  # [B, M_i, k]
+        # gather per-target-point costs: [B, N, M_{i-1}] -> [B, N, M_i]
+        knn_corr = jax.vmap(
+            lambda cv, idx: cv[:, idx], in_axes=(0, 0)
+        )(pyramid[i - 1], knn_indices)  # [B, N, M_i, k]
+        pyramid.append(jnp.mean(knn_corr, axis=-1))
+    return pyramid
+
+
+class Correlation3D(nn.Module):
+    """Multi-scale correlation lookup (camliraft_l_core.py:40-101)."""
+
+    out_channels: int = 128
+    k: int = 16
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz1: jax.Array,
+        xyzs2_warp: list[jax.Array],
+        pyramid: list[jax.Array],
+        train: bool = False,
+    ) -> jax.Array:
+        cost_mlp = MLP(
+            [self.out_channels // 4, self.out_channels // 4],
+            act="relu",
+            name="cost_mlp",
+        )
+        costs = []
+        for xyz2, cost_volume in zip(xyzs2_warp, pyramid):
+            # for each point in xyz1, find neighbours in (warped) xyz2
+            knn_idx = k_nearest_neighbor(xyz2, xyz1, k=self.k)  # [B, N, k]
+            knn_xyz2 = gather_points(xyz2, knn_idx)
+            knn_xyz2_norm = knn_xyz2 - xyz1[:, :, None, :]  # [B, N, k, 3]
+            # gather correlation entries row-wise: [B, N, M] x [B, N, k]
+            knn_corr = jnp.take_along_axis(cost_volume, knn_idx, axis=2)[..., None]
+            cost = cost_mlp(
+                jnp.concatenate(
+                    [knn_xyz2_norm.astype(jnp.float32), knn_corr], axis=-1
+                ),
+                train=train,
+            )
+            costs.append(jnp.sum(cost, axis=2))  # [B, N, out/4]
+        merged = jnp.concatenate(costs, axis=-1)
+        return DenseNormAct(self.out_channels, name="merge")(merged, train=train)
+
+
+class MotionEncoder3D(nn.Module):
+    """corr + flow -> motion features (camliraft_l_core.py:137-155)."""
+
+    corr_dim: int = 128
+
+    @nn.compact
+    def __call__(self, xyz, flow, corr, knn_indices, train: bool = False):
+        corr = corr.astype(jnp.float32)
+        flow = flow.astype(jnp.float32)
+        corr_feat = PointConvDW(self.corr_dim, k=16, name="conv_c1")(
+            xyz, corr, knn_indices=knn_indices, train=train
+        )
+        flow_feat = PointConvDW(32, k=32, name="conv_f1")(
+            xyz, flow, knn_indices=knn_indices, train=train
+        )
+        flow_feat = PointConvDW(16, k=16, name="conv_f2")(
+            xyz, flow_feat, knn_indices=knn_indices, train=train
+        )
+        out = PointConvDW(128 - 3, k=16, name="conv")(
+            xyz,
+            jnp.concatenate([corr_feat, flow_feat], axis=-1),
+            knn_indices=knn_indices,
+            train=train,
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class GRU3D(nn.Module):
+    """Point-conv gated recurrent unit (camliraft_l_core.py:119-134)."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, xyz, h, x, knn_indices, train: bool = False):
+        h = h.astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(
+            PointConvDW(self.hidden_dim, act=None, k=4, name="conv_z")(
+                xyz, hx, knn_indices=knn_indices, train=train
+            )
+        )
+        r = nn.sigmoid(
+            PointConvDW(self.hidden_dim, act=None, k=4, name="conv_r")(
+                xyz, hx, knn_indices=knn_indices, train=train
+            )
+        )
+        q = nn.tanh(
+            PointConvDW(self.hidden_dim, act=None, k=4, name="conv_q")(
+                xyz,
+                jnp.concatenate([r * h, x], axis=-1),
+                knn_indices=knn_indices,
+                train=train,
+            )
+        )
+        return (1.0 - z) * h + z * q
+
+
+class FlowHead3D(nn.Module):
+    """Hidden state -> delta flow (camliraft_l_core.py:104-116)."""
+
+    @nn.compact
+    def __call__(self, xyz, features, knn_indices, train: bool = False):
+        features = features.astype(jnp.float32)
+        features = PointConvDW(128, k=32, name="conv1")(
+            xyz, features, knn_indices=knn_indices, train=train
+        )
+        features = PointConvDW(64, k=32, name="conv2")(
+            xyz, features, knn_indices=knn_indices, train=train
+        )
+        return nn.Dense(3, name="fc")(features)
+
+
+class UpdateBlock3D(nn.Module):
+    """One GRU refinement iteration; scanned over n_iters."""
+
+    @nn.compact
+    def __call__(self, carry, consts, train: bool = False):
+        h, flow = carry
+        xyz1 = consts["xyz1"]
+        flow = jax.lax.stop_gradient(flow)
+        xyzs2_warp = [
+            backwarp_3d(xyz1, xyz2_lvl, flow) for xyz2_lvl in consts["xyzs2"]
+        ]
+        corr = Correlation3D(out_channels=128, k=16, name="correlation")(
+            xyz1, xyzs2_warp, consts["pyramid"], train=train
+        )
+        motion = MotionEncoder3D(corr_dim=128, name="motion_encoder")(
+            xyz1, flow, corr, consts["knn_indices"], train=train
+        )
+        h = GRU3D(hidden_dim=128, name="gru")(
+            xyz1,
+            h,
+            jnp.concatenate([consts["x"], motion], axis=-1),
+            consts["knn_indices"],
+            train=train,
+        )
+        delta = FlowHead3D(name="flow_head")(
+            xyz1, h, consts["knn_indices"], train=train
+        )
+        flow = flow + delta.astype(jnp.float32)
+        return (h, flow), flow
+
+
+class CamLiRAFTLCore(nn.Module):
+    """Point-space RAFT core (camliraft_l_core.py:158-225)."""
+
+    n_iters: int = 10
+    n_samples_list: tuple[int, ...] = (4096, 2048, 1024, 512, 256)
+
+    @nn.compact
+    def __call__(self, pc1: jax.Array, pc2: jax.Array, train: bool = False):
+        """pc1/pc2: [B, N, 3]. Returns [T, B, N, 3] per-iteration flows."""
+        xyzs1, xyzs2, _, _ = build_pc_pyramid(pc1, pc2, list(self.n_samples_list))
+
+        fnet = Encoder3D(name="fnet")
+        feat1 = fnet(xyzs1[:3], train=train)[2]
+        feat2 = fnet(xyzs2[:3], train=train)[2]
+        featc = Encoder3D(name="cnet")(xyzs1[:3], train=train)[2]
+        featc = nn.Dense(256, name="cnet_aligner")(featc)
+
+        xyzs1, xyzs2 = xyzs1[2:], xyzs2[2:]
+        xyz1 = xyzs1[0]  # [B, 2048, 3]
+
+        pyramid = build_cost_volume_pyramid_3d(feat1, feat2, xyzs2)
+        h, x = jnp.split(featc, 2, axis=-1)
+        h = nn.tanh(h.astype(jnp.float32))
+        x = nn.relu(x.astype(jnp.float32))
+        knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
+
+        consts = {
+            "xyz1": xyz1,
+            "xyzs2": xyzs2,
+            "pyramid": pyramid,
+            "knn_indices": knn_indices,
+            "x": x,
+        }
+        scan = nn.scan(
+            UpdateBlock3D,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=self.n_iters,
+        )
+        flow0 = jnp.zeros_like(xyz1, dtype=jnp.float32)
+        _, flow_seq = scan(name="update")((h, flow0), consts, train)
+
+        # Upsample every iteration to the full cloud with one shared
+        # KNN/weight computation (improvement over camliraft_l_core.py:222-223,
+        # which re-runs KNN per iteration).
+        knn_idx = k_nearest_neighbor(xyz1, pc1, k=3)
+        knn_xyz = gather_points(xyz1, knn_idx)
+        dists = jnp.maximum(
+            jnp.linalg.norm(
+                (knn_xyz - pc1[:, :, None, :]).astype(jnp.float32), axis=-1
+            ),
+            1e-8,
+        )
+        weights = 1.0 / dists
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+        def upsample(flow):
+            return jnp.sum(gather_points(flow, knn_idx) * weights[..., None], axis=2)
+
+        return jax.vmap(upsample)(flow_seq)  # [T, B, N, 3]
+
+
+class CamLiRAFTL(nn.Module):
+    """Model wrapper: IDS + domain alignment + core (camliraft_l.py:7-81)."""
+
+    cfgs: Any
+    train_mode: bool = False
+
+    @nn.compact
+    def __call__(self, inputs: dict) -> dict:
+        train = self.train_mode
+        pcs = inputs["pcs"]
+        pc1, pc2 = pcs[..., :3], pcs[..., 3:]
+        intrinsics = inputs["intrinsics"].astype(jnp.float32)
+
+        persp_cam = {
+            "projection_mode": "perspective",
+            "sensor_h": 540,
+            "sensor_w": 960,
+            "f": intrinsics[:, 0],
+            "cx": intrinsics[:, 1],
+            "cy": intrinsics[:, 2],
+        }
+        ids_enabled = bool(self.cfgs["ids"]["enabled"])
+        if ids_enabled:
+            paral_cam = make_parallel_camera_info(540, 960)
+            pc1 = persp2paral(pc1, persp_cam, paral_cam)
+            pc2 = persp2paral(pc2, persp_cam, paral_cam)
+
+        # domain alignment for Things->KITTI transfer (camliraft_l.py:39-56)
+        has_da = "src_mean" in inputs and "dst_mean" in inputs
+        if has_da:
+            src_mean = inputs["src_mean"][:, None, :]
+            dst_mean = inputs["dst_mean"][:, None, :]
+            src_std = inputs["src_std"][:, None, :]
+            dst_std = inputs["dst_std"][:, None, :]
+            pc1 = ((pc1 - src_mean) / src_std) * dst_std + dst_mean
+            pc2 = ((pc2 - src_mean) / src_std) * dst_std + dst_mean
+
+        n_iters = self.cfgs["n_iters_train"] if train else self.cfgs["n_iters_eval"]
+        n_samples = tuple(
+            self.cfgs.get("n_samples_list", (4096, 2048, 1024, 512, 256))
+        )
+        flow_seq = CamLiRAFTLCore(
+            n_iters=n_iters, n_samples_list=n_samples, name="core"
+        )(pc1, pc2, train=train)
+
+        if has_da:
+            def inv_map(flow):
+                pcw = pc1 + flow
+                return (((pcw - dst_mean) / dst_std) * src_std + src_mean) - (
+                    ((pc1 - dst_mean) / dst_std) * src_std + src_mean
+                )
+
+            flow_seq = jax.vmap(inv_map)(flow_seq)
+            pc1 = ((pc1 - dst_mean) / dst_std) * src_std + src_mean
+
+        if ids_enabled:
+            base = paral2persp(pc1, persp_cam, paral_cam)
+
+            def ids_map(flow):
+                return paral2persp(pc1 + flow, persp_cam, paral_cam) - base
+
+            flow_seq = jax.vmap(ids_map)(flow_seq)
+
+        return {"flow_3d": flow_seq[-1], "flow_3d_seq": flow_seq}
+
+
+def loss_fn(outputs: dict, inputs: dict, cfgs: Any):
+    """Sequence loss + metrics (camliraft_l.py:66-76)."""
+    target_3d = inputs["flow_3d"][..., :3]
+    loss = calc_sequence_loss(
+        outputs["flow_3d_seq"], target_3d, gamma=cfgs.loss.gamma, order=cfgs.loss.order
+    )
+    metrics = merge_metrics(
+        {"loss3d": scalar_metric(loss)},
+        compute_3d_metrics(outputs["flow_3d"], target_3d),
+    )
+    return loss, metrics
+
+
+def is_better(curr: dict, best: dict | None) -> bool:
+    if best is None:
+        return True
+    return curr["epe3d"] < best["epe3d"]
