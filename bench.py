@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark: CamLiRAFT inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+North star (BASELINE.json): >= 50 frame-pairs/sec/chip at 960x540 images +
+8192 points (CamLiRAFT, n_iters_eval=20).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 50.0  # frame-pairs/sec/chip target from BASELINE.json
+
+
+def build(batch_size: int, n_iters: int = 20):
+    from camliflow_tpu.models import camliraft as m
+    from camliflow_tpu.utils.config import load_yaml
+
+    cfgs = load_yaml("conf/model/camliraft.yaml")["model"]
+    cfgs["n_iters_eval"] = n_iters
+
+    rng = np.random.RandomState(0)
+    height, width, n_points = 540, 960, 8192
+    images = rng.randint(0, 255, size=(batch_size, height, width, 6)).astype(
+        np.float32
+    )
+    pc1 = rng.randn(batch_size, n_points, 3).astype(np.float32)
+    pc1[..., 2] = np.abs(pc1[..., 2]) * 15.0 + 5.0
+    pc2 = pc1 + 0.05 * rng.randn(batch_size, n_points, 3).astype(np.float32)
+    inputs = {
+        "images": jnp.asarray(images),
+        "pcs": jnp.asarray(np.concatenate([pc1, pc2], axis=-1)),
+        "intrinsics": jnp.asarray(
+            np.tile([1050.0, 479.5, 269.5], (batch_size, 1)).astype(np.float32)
+        ),
+    }
+
+    model = m.CamLiRAFT(cfgs=cfgs.to_dict(), train_mode=False)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+
+    @jax.jit
+    def forward(variables, inputs):
+        return model.apply(variables, inputs)
+
+    return forward, variables, inputs
+
+
+def main():
+    for batch_size in (4, 2, 1):
+        try:
+            forward, variables, inputs = build(batch_size)
+            out = forward(variables, inputs)  # compile + warmup
+            jax.block_until_ready(out)
+            out = forward(variables, inputs)
+            jax.block_until_ready(out)
+
+            n_steps = 10
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                out = forward(variables, inputs)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+
+            fps = batch_size * n_steps / dt
+            print(
+                json.dumps(
+                    {
+                        "metric": "camliraft_inference_960x540_8192pts",
+                        "value": round(fps, 3),
+                        "unit": "frame-pairs/sec/chip",
+                        "vs_baseline": round(fps / BASELINE_FPS, 4),
+                        "batch_size": batch_size,
+                        "n_iters": 20,
+                        "device": str(jax.devices()[0].device_kind),
+                    }
+                )
+            )
+            return
+        except Exception as e:  # OOM at this batch size -> try smaller
+            print(f"batch_size={batch_size} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    raise SystemExit("all batch sizes failed")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Batched data loading with background workers.
+
+The TPU-native replacement for the reference's FastDataLoader
+(utils.py:16-36, persistent torch workers) and DistributedSampler
+(train.py:68,81): a thread-pool prefetch loader over NumPy datasets with
+deterministic per-epoch shuffling and per-process index sharding for
+multi-host training (`jax.process_index()`-based, replacing
+DistributedSampler's rank-based split).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack a list of sample dicts into batched arrays."""
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals  # strings etc.
+    return out
+
+
+class DataLoader:
+    """Iterate a dataset in shuffled, sharded, prefetched batches.
+
+    Args:
+      dataset: object with __len__/__getitem__ returning dicts of numpy arrays.
+      batch_size: *global* batch size; each process loads its 1/num_shards.
+      shuffle: reshuffle each epoch (seeded by epoch for determinism).
+      num_workers: prefetch threads.
+      drop_last: drop the trailing partial batch (required for static shapes
+        under jit; the reference's DistributedSampler pads instead).
+      shard_index / num_shards: multi-host split (jax.process_index/count).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        drop_last: bool = True,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        seed: int = 0,
+    ):
+        assert batch_size % num_shards == 0
+        self.dataset = dataset
+        self.global_batch = batch_size
+        self.local_batch = batch_size // num_shards
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Reseed the shuffle (DistributedSampler.set_epoch parity)."""
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.global_batch
+        if not self.drop_last and len(self.dataset) % self.global_batch:
+            n += 1
+        return n
+
+    def _epoch_indices(self) -> np.ndarray:
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(indices)
+        return indices
+
+    def __iter__(self):
+        indices = self._epoch_indices()
+        n_batches = len(self)
+        batches = []
+        for b in range(n_batches):
+            batch_idx = indices[b * self.global_batch : (b + 1) * self.global_batch]
+            # contiguous split across shards
+            local = batch_idx[
+                self.shard_index * self.local_batch : (self.shard_index + 1)
+                * self.local_batch
+            ]
+            batches.append(local)
+
+        if self.num_workers <= 0:
+            for local in batches:
+                yield collate([self.dataset[int(i)] for i in local])
+            return
+
+        out_queue: queue.Queue = queue.Queue(maxsize=max(2, self.num_workers))
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for local in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, map(int, local)))
+                    out_queue.put(collate(samples))
+            out_queue.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_queue.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

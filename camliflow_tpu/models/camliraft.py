@@ -1,0 +1,359 @@
+"""CamLiRAFT: joint 2D optical flow + 3D scene flow with bidirectional
+camera-LiDAR fusion at up to 5 points (fnet, cnet, corr, motion, hidden).
+
+Reference semantics: models/camliraft_core.py (fused RAFT loop) and
+models/camliraft.py (padding, ImageNet normalisation, IDS transforms,
+sequence losses).
+
+TPU-first design departures:
+- One `nn.scan` carries both branches' hidden states and flows; per-iteration
+  detach (camliraft_core.py:104-107) becomes stop_gradient in the scan body.
+- The 3D upsample to the full cloud precomputes KNN indices + inverse-distance
+  weights once and reuses them across iterations.
+- CLFM modules are shared across frames exactly as the reference shares
+  clfm_fnet across (uv1, frame1) and (uv2, frame2) (camliraft_core.py:63-65).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.clfm import CLFM
+from ..nn.layers import dense
+from ..nn.resnet import ResNetEncoder2D
+from ..ops.correlation import all_pairs_correlation_pyramid, corr_lookup_2d
+from ..ops.geometry import (
+    backwarp_3d,
+    build_pc_pyramid,
+    gather_points,
+    k_nearest_neighbor,
+)
+from ..ops.ids import (
+    make_parallel_camera_info,
+    paral2persp,
+    persp2paral,
+    project_pc2image,
+)
+from ..ops.image import InputPadder, mesh_grid
+from .camliraft_l import (
+    Correlation3D,
+    Encoder3D,
+    FlowHead3D,
+    GRU3D,
+    MotionEncoder3D,
+    build_cost_volume_pyramid_3d,
+)
+from .losses import calc_sequence_loss
+from .metrics import (
+    compute_2d_metrics,
+    compute_3d_metrics,
+    merge_metrics,
+    scalar_metric,
+)
+from .raft import ConvexUpsampler2D, FlowHead2D, GRU2D, MotionEncoder2D
+
+# ImageNet statistics used by the mmdet backbone (camliraft.py:41-46)
+_IMAGENET_MEAN = (123.675, 116.280, 103.530)
+_IMAGENET_STD = (58.395, 57.120, 57.375)
+
+
+class FusedUpdateBlock(nn.Module):
+    """One fused RAFT iteration over both modalities; scanned over n_iters."""
+
+    fuse_corr: bool = True
+    fuse_motion: bool = True
+    fuse_hidden: bool = False
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        h_2d, h_3d, flow_2d, flow_3d = carry
+        xyz1 = consts["xyz1"]
+        uv1 = consts["uv1"]
+        knn_indices = consts["knn_indices"]
+
+        flow_2d = jax.lax.stop_gradient(flow_2d)
+        flow_3d = jax.lax.stop_gradient(flow_3d)
+        xyzs2_warp = [
+            backwarp_3d(xyz1, xyz2_lvl, flow_3d) for xyz2_lvl in consts["xyzs2"]
+        ]
+
+        # correlation lookups
+        corr_2d = corr_lookup_2d(
+            consts["pyramid_2d"], consts["grid"] + flow_2d, radius=self.corr_radius
+        )
+        corr_3d = Correlation3D(out_channels=128, k=16, name="correlation_3d")(
+            xyz1, xyzs2_warp, consts["pyramid_3d"]
+        )
+        if self.fuse_corr:
+            corr_2d, corr_3d = CLFM(324, 128, name="clfm_corr")(uv1, corr_2d, corr_3d)
+
+        # motion features
+        motion_2d = MotionEncoder2D(name="motion_encoder_2d")(flow_2d, corr_2d)
+        motion_3d = MotionEncoder3D(name="motion_encoder_3d")(
+            xyz1, flow_3d, corr_3d, knn_indices
+        )
+        if self.fuse_motion:
+            motion_2d, motion_3d = CLFM(128, 128, name="clfm_motion")(
+                uv1, motion_2d, motion_3d
+            )
+
+        # GRUs
+        h_2d = GRU2D(name="gru_2d")(
+            h_2d, jnp.concatenate([consts["x_2d"], motion_2d], axis=-1)
+        )
+        h_3d = GRU3D(name="gru_3d")(
+            xyz1,
+            h_3d,
+            jnp.concatenate([consts["x_3d"], motion_3d], axis=-1),
+            knn_indices,
+        )
+        if self.fuse_hidden:
+            h_2d, h_3d = CLFM(128, 128, name="clfm_hidden")(uv1, h_2d, h_3d)
+
+        # flow heads + residual update
+        delta_2d = FlowHead2D(name="flow_head_2d")(h_2d)
+        flow_2d = flow_2d + delta_2d
+        flow_2d_up = ConvexUpsampler2D(name="convex_upsampler")(h_2d, flow_2d)
+
+        delta_3d = FlowHead3D(name="flow_head_3d")(xyz1, h_3d, knn_indices)
+        flow_3d = flow_3d + delta_3d.astype(jnp.float32)
+        flow_3d_up = jnp.sum(
+            gather_points(flow_3d, consts["up_idx"]) * consts["up_weights"][..., None],
+            axis=2,
+        )
+
+        return (h_2d, h_3d, flow_2d, flow_3d), (flow_2d_up, flow_3d_up)
+
+
+class CamLiRAFTCore(nn.Module):
+    """Fused two-branch RAFT core (camliraft_core.py:9-145)."""
+
+    n_iters: int = 10
+    backbone_depth: int = 50
+    fuse_fnet: bool = True
+    fuse_cnet: bool = True
+    fuse_corr: bool = True
+    fuse_motion: bool = True
+    fuse_hidden: bool = False
+    n_samples_list: tuple[int, ...] = (4096, 2048, 1024, 512, 256)
+
+    @nn.compact
+    def __call__(self, image1, image2, pc1, pc2, camera_info, train: bool = False):
+        xyzs1, xyzs2, _, _ = build_pc_pyramid(pc1, pc2, list(self.n_samples_list))
+
+        # 2D feature/context networks
+        fnet_2d = ResNetEncoder2D(depth=self.backbone_depth, name="fnet_2d")
+        feat1_2d = fnet_2d(image1, train=train)
+        feat2_2d = fnet_2d(image2, train=train)
+        featc_2d = ResNetEncoder2D(depth=self.backbone_depth, name="cnet_2d")(
+            image1, train=train
+        )
+
+        # 3D feature/context networks
+        fnet_3d = Encoder3D(name="fnet_3d")
+        feat1_3d = fnet_3d(xyzs1[:3], train=train)[2]
+        feat2_3d = fnet_3d(xyzs2[:3], train=train)[2]
+        featc_3d = Encoder3D(name="cnet_3d")(xyzs1[:3], train=train)[2]
+
+        xyzs1, xyzs2 = xyzs1[2:], xyzs2[2:]
+        xyz1 = xyzs1[0]
+
+        # project points into 1/8-res feature-map coordinates
+        sensor_h, sensor_w = camera_info["sensor_h"], camera_info["sensor_w"]
+        feat_h, feat_w = feat1_2d.shape[1:3]
+        scale = jnp.array(
+            [(feat_w - 1) / (sensor_w - 1), (feat_h - 1) / (sensor_h - 1)],
+            dtype=jnp.float32,
+        )
+        uv1 = project_pc2image(xyz1, camera_info) * scale
+        uv2 = project_pc2image(xyzs2[0], camera_info) * scale
+
+        # fuse feature / context networks (shared CLFM across frames)
+        if self.fuse_fnet:
+            clfm_fnet = CLFM(128, 128, norm="batch_norm", name="clfm_fnet")
+            feat1_2d, feat1_3d = clfm_fnet(uv1, feat1_2d, feat1_3d, train=train)
+            feat2_2d, feat2_3d = clfm_fnet(uv2, feat2_2d, feat2_3d, train=train)
+        if self.fuse_cnet:
+            featc_2d, featc_3d = CLFM(
+                128, 128, norm="batch_norm", name="clfm_cnet"
+            )(uv1, featc_2d, featc_3d, train=train)
+
+        # init hidden states
+        featc_2d = dense(256, name="cnet_aligner_2d")(featc_2d)
+        h_2d, x_2d = jnp.split(featc_2d, 2, axis=-1)
+        h_2d = nn.tanh(h_2d.astype(jnp.float32))
+        x_2d = nn.relu(x_2d.astype(jnp.float32))
+
+        featc_3d = dense(256, name="cnet_aligner_3d")(featc_3d)
+        h_3d, x_3d = jnp.split(featc_3d, 2, axis=-1)
+        h_3d = nn.tanh(h_3d.astype(jnp.float32))
+        x_3d = nn.relu(x_3d.astype(jnp.float32))
+
+        # all-pairs cost volumes, built once
+        aligner = dense(256, name="fnet_aligner_2d")
+        pyramid_2d = all_pairs_correlation_pyramid(
+            aligner(feat1_2d.astype(jnp.float32)),
+            aligner(feat2_2d.astype(jnp.float32)),
+            num_levels=4,
+        )
+        pyramid_3d = build_cost_volume_pyramid_3d(feat1_3d, feat2_3d, xyzs2)
+
+        knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
+
+        # shared upsample weights (2048 -> full cloud)
+        up_idx = k_nearest_neighbor(xyz1, pc1, k=3)
+        up_xyz = gather_points(xyz1, up_idx)
+        dists = jnp.maximum(
+            jnp.linalg.norm(
+                (up_xyz - pc1[:, :, None, :]).astype(jnp.float32), axis=-1
+            ),
+            1e-8,
+        )
+        up_weights = 1.0 / dists
+        up_weights = up_weights / jnp.sum(up_weights, axis=-1, keepdims=True)
+
+        batch, image_h, image_w, _ = image1.shape
+        grid = mesh_grid(batch, image_h // 8, image_w // 8)
+
+        consts = {
+            "xyz1": xyz1,
+            "xyzs2": xyzs2,
+            "uv1": uv1,
+            "grid": grid,
+            "x_2d": x_2d,
+            "x_3d": x_3d,
+            "pyramid_2d": pyramid_2d,
+            "pyramid_3d": pyramid_3d,
+            "knn_indices": knn_indices,
+            "up_idx": up_idx,
+            "up_weights": up_weights,
+        }
+        scan = nn.scan(
+            FusedUpdateBlock,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=self.n_iters,
+        )
+        carry0 = (h_2d, h_3d, jnp.zeros_like(grid), jnp.zeros_like(xyz1, jnp.float32))
+        _, (flow_2d_seq, flow_3d_seq) = scan(
+            fuse_corr=self.fuse_corr,
+            fuse_motion=self.fuse_motion,
+            fuse_hidden=self.fuse_hidden,
+            name="update",
+        )(carry0, consts)
+        return flow_2d_seq, flow_3d_seq
+
+
+class CamLiRAFT(nn.Module):
+    """Model wrapper (camliraft.py:10-104)."""
+
+    cfgs: Any
+    train_mode: bool = False
+
+    @nn.compact
+    def __call__(self, inputs: dict) -> dict:
+        train = self.train_mode
+        images = inputs["images"].astype(jnp.float32)
+        pcs = inputs["pcs"]
+        pc1, pc2 = pcs[..., :3], pcs[..., 3:]
+        intrinsics = inputs["intrinsics"].astype(jnp.float32)
+
+        padder = InputPadder(images.shape, x=8)
+        image1, image2 = padder.pad(images[..., :3], images[..., 3:])
+        mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(_IMAGENET_STD, jnp.float32)
+        image1 = (image1 - mean) / std
+        image2 = (image2 - mean) / std
+
+        persp_cam = {
+            "projection_mode": "perspective",
+            "sensor_h": image1.shape[1],
+            "sensor_w": image1.shape[2],
+            "f": intrinsics[:, 0],
+            "cx": intrinsics[:, 1],
+            "cy": intrinsics[:, 2],
+        }
+        paral_cam = make_parallel_camera_info(image1.shape[1], image1.shape[2])
+        pc1 = persp2paral(pc1, persp_cam, paral_cam)
+        pc2 = persp2paral(pc2, persp_cam, paral_cam)
+
+        n_iters = self.cfgs["n_iters_train"] if train else self.cfgs["n_iters_eval"]
+        n_samples = tuple(
+            self.cfgs.get("n_samples_list", (4096, 2048, 1024, 512, 256))
+        )
+        flow_2d_seq, flow_3d_seq = CamLiRAFTCore(
+            n_iters=n_iters,
+            backbone_depth=self.cfgs["backbone"]["depth"],
+            fuse_fnet=bool(self.cfgs["fuse_fnet"]),
+            fuse_cnet=bool(self.cfgs["fuse_cnet"]),
+            fuse_corr=bool(self.cfgs["fuse_corr"]),
+            fuse_motion=bool(self.cfgs["fuse_motion"]),
+            fuse_hidden=bool(self.cfgs["fuse_hidden"]),
+            n_samples_list=n_samples,
+            name="core",
+        )(image1, image2, pc1, pc2, paral_cam, train=train)
+
+        flow_2d_seq = jax.vmap(padder.unpad)(flow_2d_seq)
+
+        base = paral2persp(pc1, persp_cam, paral_cam)
+
+        def ids_map(flow):
+            return paral2persp(pc1 + flow, persp_cam, paral_cam) - base
+
+        flow_3d_seq = jax.vmap(ids_map)(flow_3d_seq)
+
+        return {
+            "flow_2d": flow_2d_seq[-1],
+            "flow_3d": flow_3d_seq[-1],
+            "flow_2d_seq": flow_2d_seq,
+            "flow_3d_seq": flow_3d_seq,
+        }
+
+
+def loss_fn(outputs: dict, inputs: dict, cfgs: Any):
+    """Joint sequence losses + metrics (camliraft.py:85-96)."""
+    target_2d = inputs["flow_2d"]
+    target_3d = inputs["flow_3d"]
+    loss_2d = calc_sequence_loss(
+        outputs["flow_2d_seq"],
+        target_2d,
+        gamma=cfgs.loss2d.gamma,
+        order=cfgs.loss2d.order,
+    )
+    loss_3d = calc_sequence_loss(
+        outputs["flow_3d_seq"],
+        target_3d,
+        gamma=cfgs.loss3d.gamma,
+        order=cfgs.loss3d.order,
+    )
+    loss = loss_2d + loss_3d
+    metrics = merge_metrics(
+        {
+            "loss": scalar_metric(loss),
+            "loss2d": scalar_metric(loss_2d),
+            "loss3d": scalar_metric(loss_3d),
+        },
+        compute_2d_metrics(outputs["flow_2d"], target_2d),
+        compute_3d_metrics(outputs["flow_3d"], target_3d),
+    )
+    if "occ_mask_3d" in inputs:
+        metrics = merge_metrics(
+            metrics,
+            compute_3d_metrics(
+                outputs["flow_3d"], target_3d, occ_mask=inputs["occ_mask_3d"]
+            ),
+        )
+    return loss, metrics
+
+
+def is_better(curr: dict, best: dict | None) -> bool:
+    if best is None:
+        return True
+    return curr["epe2d"] < best["epe2d"]

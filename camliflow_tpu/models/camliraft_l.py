@@ -32,7 +32,7 @@ from ..ops.geometry import (
     knn_interpolation,
 )
 from ..ops.ids import make_parallel_camera_info, paral2persp, persp2paral
-from ..nn.layers import MLP, DenseNormAct
+from ..nn.layers import MLP, DenseNormAct, dense
 from ..nn.point_conv import PointConv, PointConvDW
 from .losses import calc_sequence_loss
 from .metrics import compute_3d_metrics, merge_metrics, scalar_metric
@@ -193,7 +193,7 @@ class FlowHead3D(nn.Module):
         features = PointConvDW(64, k=32, name="conv2")(
             xyz, features, knn_indices=knn_indices, train=train
         )
-        return nn.Dense(3, name="fc")(features)
+        return dense(3, name="fc")(features)
 
 
 class UpdateBlock3D(nn.Module):
@@ -242,7 +242,7 @@ class CamLiRAFTLCore(nn.Module):
         feat1 = fnet(xyzs1[:3], train=train)[2]
         feat2 = fnet(xyzs2[:3], train=train)[2]
         featc = Encoder3D(name="cnet")(xyzs1[:3], train=train)[2]
-        featc = nn.Dense(256, name="cnet_aligner")(featc)
+        featc = dense(256, name="cnet_aligner")(featc)
 
         xyzs1, xyzs2 = xyzs1[2:], xyzs2[2:]
         xyz1 = xyzs1[0]  # [B, 2048, 3]

@@ -1,0 +1,212 @@
+"""RAFT: 2D optical flow with all-pairs correlation + ConvGRU refinement.
+
+Reference semantics: models/raft_core.py (Encoder2D, Correlation2D, GRU2D,
+MotionEncoder2D, FlowHead2D, ConvexUpsampler2D, RAFTCore) and models/raft.py
+(padding, [-1, 1] normalisation, sequence loss).
+
+TPU-first design departures:
+- The refinement loop is a `nn.scan` so XLA reuses the big per-iteration
+  buffers (the 324-channel corr lookup) instead of unrolling.
+- The all-pairs volume is built once as an f32 MXU matmul (ops/correlation.py).
+
+NHWC throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.correlation import all_pairs_correlation_pyramid, corr_lookup_2d
+from ..ops.image import InputPadder, convex_upsample, mesh_grid
+from ..nn.layers import torch_kernel_init, dense
+from ..nn.resnet import ResNetEncoder2D
+from .losses import calc_sequence_loss
+from .metrics import compute_2d_metrics, merge_metrics, scalar_metric
+
+
+def _conv(out, kernel, name):
+    """Raw torch-style conv with symmetric padding, bias, and torch init."""
+    pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel)
+    return nn.Conv(out, kernel, padding=pad, kernel_init=torch_kernel_init, name=name)
+
+
+class GRU2D(nn.Module):
+    """Separable 1x5 + 5x1 ConvGRU (raft_core.py:110-139)."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        for suffix, kernel in (("1", (1, 5)), ("2", (5, 1))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convz{suffix}")(hx))
+            r = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convr{suffix}")(hx))
+            q = nn.tanh(
+                _conv(self.hidden_dim, kernel, f"convq{suffix}")(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            h = (1.0 - z) * h + z * q
+        return jnp.nan_to_num(h)
+
+
+class MotionEncoder2D(nn.Module):
+    """corr + flow -> motion features (raft_core.py:142-166)."""
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        corr_feat = nn.relu(_conv(256, (1, 1), "conv_c1")(corr))
+        corr_feat = nn.relu(_conv(192, (3, 3), "conv_c2")(corr_feat))
+        flow_feat = nn.relu(_conv(128, (7, 7), "conv_f1")(flow))
+        flow_feat = nn.relu(_conv(64, (3, 3), "conv_f2")(flow_feat))
+        out = nn.relu(
+            _conv(128 - 2, (3, 3), "conv")(
+                jnp.concatenate([corr_feat, flow_feat], axis=-1)
+            )
+        )
+        out = jnp.nan_to_num(out)
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class FlowHead2D(nn.Module):
+    """Hidden state -> delta flow (raft_core.py:169-181)."""
+
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        out = _conv(2, (3, 3), "conv2")(
+            nn.relu(_conv(self.hidden_dim, (3, 3), "conv1")(x))
+        ).astype(jnp.float32)
+        return jnp.nan_to_num(out)
+
+
+class ConvexUpsampler2D(nn.Module):
+    """Learned convex upsampling mask, 0.25-scaled (raft_core.py:184-197)."""
+
+    scale_factor: int = 8
+
+    @nn.compact
+    def __call__(self, h, flow):
+        mask = _conv(256, (3, 3), "mask_0")(h.astype(jnp.float32))
+        mask = nn.relu(mask)
+        mask = _conv(self.scale_factor * self.scale_factor * 9, (1, 1), "mask_1")(mask)
+        return convex_upsample(flow, 0.25 * mask, self.scale_factor)
+
+
+class UpdateBlock2D(nn.Module):
+    """One RAFT iteration; scanned over n_iters."""
+
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        h, flow = carry
+        flow = jax.lax.stop_gradient(flow)
+        corr = corr_lookup_2d(
+            consts["pyramid"], consts["grid"] + flow, radius=self.corr_radius
+        )
+        motion = MotionEncoder2D(name="motion_encoder")(flow, corr)
+        h = GRU2D(name="gru")(h, jnp.concatenate([consts["x"], motion], axis=-1))
+        delta = FlowHead2D(name="flow_head")(h)
+        flow = flow + delta
+        out = ConvexUpsampler2D(name="convex_upsampler")(h, flow)
+        return (h, flow), out
+
+
+class RAFTCore(nn.Module):
+    """Standalone 2D RAFT loop (raft_core.py:200-270)."""
+
+    n_iters: int = 12
+    backbone_depth: int = 50
+    corr_levels: int = 4
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, image1, image2, train: bool = False):
+        """image1/2: [B, H, W, 3] normalised. Returns [T, B, H, W, 2]."""
+        fnet = ResNetEncoder2D(depth=self.backbone_depth, name="fnet")
+        fmap1 = fnet(image1, train=train)
+        fmap2 = fnet(image2, train=train)
+
+        # all-pairs correlation (fnet_aligner: raft_core.py:47,52-54)
+        aligner = dense(256, name="fnet_aligner")
+        pyramid = all_pairs_correlation_pyramid(
+            aligner(fmap1.astype(jnp.float32)),
+            aligner(fmap2.astype(jnp.float32)),
+            self.corr_levels,
+        )
+
+        cnet = ResNetEncoder2D(depth=self.backbone_depth, name="cnet")(
+            image1, train=train
+        )
+        cnet = dense(256, name="cnet_aligner")(cnet)
+        h, x = jnp.split(cnet, 2, axis=-1)
+        h = nn.tanh(h.astype(jnp.float32))
+        x = nn.relu(x.astype(jnp.float32))
+
+        batch, image_h, image_w, _ = image1.shape
+        grid = mesh_grid(batch, image_h // 8, image_w // 8)
+        flow0 = jnp.zeros_like(grid)
+
+        consts = {"pyramid": pyramid, "grid": grid, "x": x}
+        scan = nn.scan(
+            UpdateBlock2D,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=self.n_iters,
+        )
+        _, flow_ups = scan(corr_radius=self.corr_radius, name="update")(
+            (h, flow0), consts
+        )
+        return flow_ups  # [T, B, H, W, 2]
+
+
+class RAFT(nn.Module):
+    """Model wrapper (models/raft.py:1-45)."""
+
+    cfgs: Any
+    train_mode: bool = False
+
+    @nn.compact
+    def __call__(self, inputs: dict) -> dict:
+        train = self.train_mode
+        images = 2.0 * (inputs["images"].astype(jnp.float32) / 255.0) - 1.0
+        padder = InputPadder(images.shape, x=8)
+        image1, image2 = padder.pad(images[..., :3], images[..., 3:])
+
+        n_iters = self.cfgs["n_iters_train"] if train else self.cfgs["n_iters_eval"]
+        flow_seq = RAFTCore(
+            n_iters=n_iters,
+            backbone_depth=self.cfgs["backbone"]["depth"]
+            if "backbone" in self.cfgs
+            else 50,
+            name="core",
+        )(image1, image2, train=train)
+
+        flow_seq = jax.vmap(padder.unpad)(flow_seq)
+        return {"flow_2d": flow_seq[-1], "flow_2d_seq": flow_seq}
+
+
+def loss_fn(outputs: dict, inputs: dict, cfgs: Any):
+    target_2d = inputs["flow_2d"]
+    loss = calc_sequence_loss(
+        outputs["flow_2d_seq"], target_2d, gamma=cfgs.loss.gamma, order=cfgs.loss.order
+    )
+    metrics = merge_metrics(
+        {"loss2d": scalar_metric(loss)},
+        compute_2d_metrics(outputs["flow_2d"], target_2d),
+    )
+    return loss, metrics
+
+
+def is_better(curr: dict, best: dict | None) -> bool:
+    if best is None:
+        return True
+    return curr["epe2d"] < best["epe2d"]

@@ -17,10 +17,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.geometry import gather_points, k_nearest_neighbor
+from ..ops.geometry import gather_points, k_nearest_neighbor_chunked
 from ..ops.gridsample import grid_sample_points
 from ..ops.image import mesh_grid
-from .layers import DenseNormAct
+from .layers import DenseNormAct, dense
 
 
 class FusionAwareInterp(nn.Module):
@@ -38,7 +38,8 @@ class FusionAwareInterp(nn.Module):
         grid = mesh_grid(batch, image_h, image_w, dtype=jnp.float32)
         grid = grid.reshape(batch, image_h * image_w, 2)  # [B, HW, 2]
 
-        knn_indices = k_nearest_neighbor(uv, grid, self.k)  # [B, HW, k]
+        # chunked over the pixel grid: caps the [B, chunk, N] distance matrix
+        knn_indices = k_nearest_neighbor_chunked(uv, grid, self.k)  # [B, HW, k]
         knn_uv = gather_points(uv, knn_indices)  # [B, HW, k, 2]
         knn_feat3d = gather_points(feat_3d, knn_indices)  # [B, HW, k, C3]
 
@@ -125,12 +126,12 @@ class SKFusion(nn.Module):
         spatial_axes = tuple(range(1, a.ndim - 1))
         weight = jnp.mean(a + b, axis=spatial_axes)  # [B, C]
         weight = nn.relu(
-            nn.Dense(self.out_channels // self.reduction, use_bias=False, name="fc_mid")(
+            dense(self.out_channels // self.reduction, use_bias=False, name="fc_mid")(
                 weight
             )
         )
         weight = nn.sigmoid(
-            nn.Dense(self.out_channels * 2, use_bias=False, name="fc_out")(weight)
+            dense(self.out_channels * 2, use_bias=False, name="fc_out")(weight)
         )
         weight = jax.nn.softmax(weight.reshape(batch, self.out_channels, 2), axis=-1)
         shape = (batch,) + (1,) * len(spatial_axes) + (self.out_channels,)

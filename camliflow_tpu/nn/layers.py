@@ -24,6 +24,45 @@ import jax
 import jax.numpy as jnp
 
 
+# torch nn.Linear/nn.Conv default init: kaiming_uniform(a=sqrt(5)), i.e.
+# U(-1/sqrt(fan_in), 1/sqrt(fan_in)). Matching it keeps early-training
+# activation magnitudes in range through the deep un-normalised estimator
+# stacks (flax's default lecun_normal is ~1.7x larger std and overflows f32
+# through the 6-level point-conv pyramids at init).
+torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, mode="fan_in", distribution="uniform"
+)
+
+
+def dense(features: int, use_bias: bool = True, name: str | None = None) -> nn.Dense:
+    """nn.Dense with torch-parity default init."""
+    return nn.Dense(
+        features, use_bias=use_bias, kernel_init=torch_kernel_init, name=name
+    )
+
+
+def conv2d(
+    features: int,
+    kernel_size: tuple[int, int],
+    strides: int = 1,
+    padding="SAME",
+    dilation: int = 1,
+    use_bias: bool = True,
+    name: str | None = None,
+) -> nn.Conv:
+    """nn.Conv with torch-parity default init."""
+    return nn.Conv(
+        features,
+        kernel_size,
+        strides=strides,
+        padding=padding,
+        kernel_dilation=dilation,
+        use_bias=use_bias,
+        kernel_init=torch_kernel_init,
+        name=name,
+    )
+
+
 def apply_act(x: jax.Array, act: str | None) -> jax.Array:
     if act is None:
         return x
@@ -93,7 +132,7 @@ class DenseNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Dense(self.out_channels, use_bias=self.norm is None)(x)
+        x = dense(self.out_channels, use_bias=self.norm is None)(x)
         x = Norm(self.norm)(x, train=train)
         return apply_act(x, self.act)
 
@@ -126,6 +165,7 @@ class Conv2dNormAct(nn.Module):
             kernel_dilation=self.dilation,
             padding=pad,
             use_bias=self.norm is None,
+            kernel_init=torch_kernel_init,
         )(x)
         x = Norm(self.norm)(x, train=train)
         return apply_act(x, self.act)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.geometry import gather_points, k_nearest_neighbor
-from .layers import MLP, Norm, apply_act
+from .layers import MLP, Norm, apply_act, dense
 
 
 def _resolve_knn(
@@ -78,7 +78,7 @@ class PointConv(nn.Module):
             "bmkw,bmkc->bmwc", weights, knn_feats, preferred_element_type=jnp.float32
         ).astype(features.dtype)
         out = out.reshape(batch, n_samples, -1)
-        out = nn.Dense(self.out_channels, name="linear")(out)
+        out = dense(self.out_channels, name="linear")(out)
         out = Norm(self.norm)(out, train=train)
         return apply_act(out, self.act)
 

@@ -64,6 +64,33 @@ def k_nearest_neighbor(input_xyz: jax.Array, query_xyz: jax.Array, k: int) -> ja
     return idx.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+def k_nearest_neighbor_chunked(
+    input_xyz: jax.Array,
+    query_xyz: jax.Array,
+    k: int,
+    chunk_size: int = 8192,
+) -> jax.Array:
+    """KNN with the query set processed in chunks via `lax.map`.
+
+    Bounds peak memory to [B, chunk, M] instead of [B, N, M] — needed when the
+    query set is an image grid (CLFM FusionAwareInterp at fine PWC levels,
+    where HW can exceed 10^5). Results are identical to `k_nearest_neighbor`.
+    """
+    batch, n_queries, dim = query_xyz.shape
+    if n_queries <= chunk_size:
+        return k_nearest_neighbor(input_xyz, query_xyz, k)
+    pad = (-n_queries) % chunk_size
+    padded = jnp.pad(query_xyz, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = padded.shape[1] // chunk_size
+    chunks = padded.reshape(batch, n_chunks, chunk_size, dim).transpose(1, 0, 2, 3)
+    out = jax.lax.map(
+        lambda q: k_nearest_neighbor(input_xyz, q, k), chunks
+    )  # [n_chunks, B, chunk, k]
+    out = out.transpose(1, 0, 2, 3).reshape(batch, n_chunks * chunk_size, k)
+    return out[:, :n_queries]
+
+
 def gather_points(data: jax.Array, indices: jax.Array) -> jax.Array:
     """Batched gather along the points axis (channel-last `batch_indexing`).
 

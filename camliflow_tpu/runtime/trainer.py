@@ -1,0 +1,239 @@
+"""Training runtime: the TPU-native equivalent of the reference Trainer
+(train.py:26-247).
+
+Differences from the reference, by design:
+- No mp.spawn / DDP / NCCL: one process per host, a 1-D device mesh, and
+  jit-compiled steps over sharded batches (see parallel/mesh.py).
+- Optimizer state IS checkpointed (the reference drops it, train.py:228-238).
+- Metrics accumulate as (sum, count) pairs on device and are finalised on
+  host; the cross-device reduction happens inside jit.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+
+from ..data.datasets import dataset_factory
+from ..data.loader import DataLoader
+from ..models.factory import model_factory, optimizer_factory
+from ..models.metrics import finalize_metrics, merge_metrics
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from .train_state import TrainState, make_eval_step, make_train_step
+
+logger = logging.getLogger("camliflow_tpu")
+
+
+def init_logging(log_path: Path | None = None):
+    handlers = [logging.StreamHandler()]
+    if log_path is not None:
+        handlers.append(logging.FileHandler(log_path))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+class Trainer:
+    """Epoch-based trainer with validation + best-checkpoint selection."""
+
+    def __init__(self, cfgs):
+        self.cfgs = cfgs
+        self.mesh = make_mesh()
+        self.is_main = jax.process_index() == 0
+
+        self.log_dir = Path(cfgs.log.dir)
+        self.ckpt_dir = self.log_dir / "ckpts"
+        if self.is_main:
+            self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        init_logging(self.log_dir / "train.log" if self.is_main else None)
+
+        # datasets + loaders (per-host sharded indices)
+        self.train_set = dataset_factory(cfgs.trainset)
+        self.val_set = dataset_factory(cfgs.valset)
+        self.train_loader = DataLoader(
+            self.train_set,
+            batch_size=cfgs.model.batch_size,
+            shuffle=True,
+            num_workers=int(cfgs.trainset.get("n_workers", 4)),
+            drop_last=True,
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
+        )
+        self.val_loader = DataLoader(
+            self.val_set,
+            batch_size=cfgs.model.batch_size,
+            shuffle=False,
+            num_workers=int(cfgs.valset.get("n_workers", 4)),
+            drop_last=False,
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
+        )
+
+        # model + optimizer
+        self.spec = model_factory(cfgs.model)
+        self.model_train = self.spec.module_cls(
+            cfgs=cfgs.model.to_dict(), train_mode=True
+        )
+        self.model_eval = self.spec.module_cls(
+            cfgs=cfgs.model.to_dict(), train_mode=False
+        )
+
+        sample_batch = self._host_batch(next(iter(self.val_loader)))
+        variables = jax.jit(self.model_train.init)(
+            jax.random.PRNGKey(int(cfgs.get("seed", 0))), sample_batch
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        logger.info("#parameters: %.2fM", n_params / 1e6)
+
+        self.tx = optimizer_factory(
+            cfgs.training, params, steps_per_epoch=len(self.train_loader)
+        )
+        opt_state = self.tx.init(params)
+        self.state = TrainState(
+            params=replicate_tree(params, self.mesh),
+            batch_stats=replicate_tree(batch_stats, self.mesh)
+            if batch_stats is not None
+            else None,
+            opt_state=replicate_tree(opt_state, self.mesh),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        self.train_step = make_train_step(
+            self.model_train, self.spec.loss_fn, self.tx, cfgs.model
+        )
+        self.eval_step = make_eval_step(self.model_eval, self.spec.loss_fn, cfgs.model)
+
+        self.best_metrics = None
+        self.start_epoch = 0
+
+        self.ckpt_mgr = ocp.CheckpointManager(
+            self.ckpt_dir.absolute(),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=int(cfgs.ckpt.get("max_to_keep", 3)), create=True
+            ),
+        )
+        if cfgs.ckpt.get("resume", False) and self.ckpt_mgr.latest_step() is not None:
+            self.load_ckpt()
+
+    def _host_batch(self, batch: dict) -> dict:
+        """Drop non-array fields and move to device, sharded on 'data'."""
+        arrays = {
+            k: v for k, v in batch.items() if isinstance(v, np.ndarray) and v.ndim > 1
+        }
+        arrays.update(
+            {
+                k: v
+                for k, v in batch.items()
+                if isinstance(v, np.ndarray) and v.ndim == 1 and k != "index"
+            }
+        )
+        arrays.pop("input_h", None)
+        arrays.pop("input_w", None)
+        return shard_batch(arrays, self.mesh)
+
+    def run(self):
+        epochs = int(self.cfgs.training.epochs)
+        val_interval = int(self.cfgs.log.get("val_interval", 1))
+        for epoch in range(self.start_epoch, epochs):
+            self.train_loader.set_epoch(epoch)
+            self.train_one_epoch(epoch)
+            if (epoch + 1) % val_interval == 0 or epoch == epochs - 1:
+                metrics = self.validate(epoch)
+                if self.spec.is_better(metrics, self.best_metrics):
+                    self.best_metrics = metrics
+                    self.save_ckpt(epoch, best=True)
+            self.save_ckpt(epoch)
+
+    def train_one_epoch(self, epoch: int):
+        logger.info("epoch %d begins", epoch + 1)
+        epoch_metrics: dict = {}
+        t0 = time.time()
+        for i, batch in enumerate(self.train_loader):
+            batch = self._host_batch(batch)
+            self.state, loss, metrics, telemetry = self.train_step(self.state, batch)
+            epoch_metrics = merge_metrics(
+                epoch_metrics, jax.tree.map(np.asarray, metrics)
+            )
+            if self.is_main and i % int(self.cfgs.log.get("print_interval", 50)) == 0:
+                logger.info(
+                    "E %d S %d loss %.4f g2d %.3f g3d %.3f %.2fs/it",
+                    epoch + 1,
+                    i,
+                    float(loss),
+                    float(telemetry["grad_norm_2d"]),
+                    float(telemetry["grad_norm_3d"]),
+                    (time.time() - t0) / (i + 1),
+                )
+        summary = finalize_metrics(epoch_metrics)
+        logger.info("train epoch %d: %s", epoch + 1, _fmt(summary))
+        self._dump_scalars("train", epoch, summary)
+
+    def validate(self, epoch: int) -> dict:
+        logger.info("validating epoch %d", epoch + 1)
+        agg: dict = {}
+        for batch in self.val_loader:
+            batch = self._host_batch(batch)
+            metrics = self.eval_step(
+                self.state.params, self.state.batch_stats, batch
+            )
+            agg = merge_metrics(agg, jax.tree.map(np.asarray, metrics))
+        summary = finalize_metrics(agg)
+        logger.info("val epoch %d: %s", epoch + 1, _fmt(summary))
+        self._dump_scalars("val", epoch, summary)
+        return summary
+
+    def _dump_scalars(self, tag: str, epoch: int, summary: dict):
+        if not self.is_main:
+            return
+        path = self.log_dir / "metrics.jsonl"
+        with open(path, "a") as f:
+            f.write(json.dumps({"tag": tag, "epoch": epoch, **summary}) + "\n")
+
+    def save_ckpt(self, epoch: int, best: bool = False):
+        if not self.is_main:
+            return
+        payload = {
+            "params": jax.tree.map(np.asarray, self.state.params),
+            "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
+            "last_epoch": epoch,
+        }
+        if self.state.batch_stats is not None:
+            payload["batch_stats"] = jax.tree.map(np.asarray, self.state.batch_stats)
+        if self.best_metrics is not None:
+            payload["best_metrics"] = dict(self.best_metrics)
+        step = 1_000_000 if best else epoch
+        self.ckpt_mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def load_ckpt(self):
+        step = self.ckpt_mgr.latest_step()
+        payload = self.ckpt_mgr.restore(step)
+        self.state = TrainState(
+            params=replicate_tree(payload["params"], self.mesh),
+            batch_stats=replicate_tree(payload["batch_stats"], self.mesh)
+            if "batch_stats" in payload
+            else None,
+            opt_state=replicate_tree(payload["opt_state"], self.mesh)
+            if "opt_state" in payload
+            else self.tx.init(payload["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.start_epoch = int(payload.get("last_epoch", -1)) + 1
+        self.best_metrics = payload.get("best_metrics")
+        logger.info("resumed from epoch %d", self.start_epoch)
+
+
+def _fmt(summary: dict) -> str:
+    return " ".join(f"{k}={v:.4f}" for k, v in sorted(summary.items()))
