@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Rigid-background refinement over KITTI submission files.
+
+Reference semantics: refine_background.py:10-40. Reads the files written by
+kitti_submission.py plus semantic masks, rewrites background flow/disp_1 with
+the rigid-scene reprojection. Classical geometry; runs on CPU.
+"""
+
+import argparse
+import os
+
+import cv2
+import numpy as np
+
+from camliflow_tpu.data.io import (
+    load_calib,
+    load_disp_png,
+    load_flow_png,
+    save_disp_png,
+    save_flow_png,
+)
+from camliflow_tpu.postprocess import mod_flow
+
+
+def main(args):
+    for i in range(200):
+        np.random.seed(0)
+
+        # cityscapes class ids <= 22 are static background (refine_background.py:14)
+        bg_mask = (
+            cv2.imread(
+                os.path.join(
+                    args.dataset_dir, args.dataset_split, args.semantic_dir,
+                    "%06d_10.png" % i,
+                ),
+                0,
+            )
+            <= 22
+        )
+        K0 = load_calib(
+            os.path.join(
+                args.dataset_dir, args.dataset_split, "calib_cam_to_cam",
+                "%06d.txt" % i,
+            )
+        )[0:3, 0:3]
+
+        disp = load_disp_png(
+            f"submission/{args.dataset_split}/disp_0/%06d_10.png" % i
+        )[0]
+        disp_c = load_disp_png(
+            f"submission/{args.dataset_split}/disp_1_initial/%06d_10.png" % i
+        )[0]
+        flow = load_flow_png(
+            f"submission/{args.dataset_split}/flow_initial/%06d_10.png" % i
+        )[0]
+        occ_mask = (
+            cv2.imread(f"submission/{args.dataset_split}/occ/%06d_10.png" % i, 0) == 0
+        )
+
+        flow_refine, disp_c_refine = mod_flow(
+            bg_mask, disp, disp_c.copy(), flow, K0, K1=K0, bl=0.54, occ_mask=occ_mask
+        )
+        flow_refine = np.clip(flow_refine, -500, 500)
+
+        os.makedirs(f"submission/{args.dataset_split}/flow", exist_ok=True)
+        save_flow_png(
+            f"submission/{args.dataset_split}/flow/%06d_10.png" % i, flow_refine
+        )
+        os.makedirs(f"submission/{args.dataset_split}/disp_1", exist_ok=True)
+        save_disp_png(
+            f"submission/{args.dataset_split}/disp_1/%06d_10.png" % i, disp_c_refine
+        )
+        print(f"refined frame {i}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset_dir", default="datasets/kitti_scene_flow")
+    parser.add_argument("--dataset_split", default="testing")
+    parser.add_argument("--semantic_dir", default="semantic_ddr")
+    main(parser.parse_args())
