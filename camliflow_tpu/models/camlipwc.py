@@ -304,6 +304,10 @@ class CamLiPWC(nn.Module):
         n_samples = list(self.cfgs.get("n_samples_list", (4096, 2048, 1024, 512, 256)))
         xyzs1, xyzs2, sample_indices1, _ = build_pc_pyramid(pc1, pc2, n_samples)
 
+        # freeze_bn (camlipwc.py:15-27): see camliraft.py wrapper note.
+        if self.cfgs.get("freeze_bn", False):
+            train = False
+
         core = CamLiPWCCore(
             cfgs2d=self.cfgs["pwc2d"],
             cfgs3d=self.cfgs["pwc3d"],

@@ -288,6 +288,11 @@ class CamLiRAFT(nn.Module):
         n_samples = tuple(
             self.cfgs.get("n_samples_list", (4096, 2048, 1024, 512, 256))
         )
+        # freeze_bn (camliraft.py:16-27): BatchNorms stay in eval mode during
+        # training. Inside the core the train flag only gates norm layers, so
+        # masking it here reproduces the reference's module-wide .eval() walk.
+        if self.cfgs.get("freeze_bn", False):
+            train = False
         flow_2d_seq, flow_3d_seq = CamLiRAFTCore(
             n_iters=n_iters,
             backbone_depth=self.cfgs["backbone"]["depth"],

@@ -158,8 +158,11 @@ class Trainer:
             self.save_ckpt(epoch)
 
     def train_one_epoch(self, epoch: int):
+        from ..utils.profiling import BadLossChecker
+
         logger.info("epoch %d begins", epoch + 1)
         epoch_metrics: dict = {}
+        bad_loss = BadLossChecker()
         t0 = time.time()
         for i, batch in enumerate(self.train_loader):
             batch = self._host_batch(batch)
@@ -167,6 +170,11 @@ class Trainer:
             epoch_metrics = merge_metrics(
                 epoch_metrics, jax.tree.map(np.asarray, metrics)
             )
+            if bad_loss.check(float(loss)):
+                raise RuntimeError(
+                    f"loss diverged for {bad_loss.patience} consecutive steps "
+                    f"(last: {float(loss)}); aborting"
+                )
             if self.is_main and i % int(self.cfgs.log.get("print_interval", 50)) == 0:
                 logger.info(
                     "E %d S %d loss %.4f g2d %.3f g3d %.3f %.2fs/it",
