@@ -89,8 +89,11 @@ class FusedUpdateBlock(nn.Module):
         corr_3d = Correlation3D(out_channels=128, k=16, name="correlation_3d")(
             xyz1, xyzs2_warp, consts["pyramid_3d"]
         )
+        interp_cache = consts["interp_cache_uv1"]
         if self.fuse_corr:
-            corr_2d, corr_3d = CLFM(324, 128, name="clfm_corr")(uv1, corr_2d, corr_3d)
+            corr_2d, corr_3d = CLFM(324, 128, name="clfm_corr")(
+                uv1, corr_2d, corr_3d, interp_cache=interp_cache
+            )
 
         # motion features
         motion_2d = MotionEncoder2D(name="motion_encoder_2d")(flow_2d, corr_2d)
@@ -99,7 +102,7 @@ class FusedUpdateBlock(nn.Module):
         )
         if self.fuse_motion:
             motion_2d, motion_3d = CLFM(128, 128, name="clfm_motion")(
-                uv1, motion_2d, motion_3d
+                uv1, motion_2d, motion_3d, interp_cache=interp_cache
             )
 
         # GRUs
@@ -113,7 +116,9 @@ class FusedUpdateBlock(nn.Module):
             knn_indices,
         )
         if self.fuse_hidden:
-            h_2d, h_3d = CLFM(128, 128, name="clfm_hidden")(uv1, h_2d, h_3d)
+            h_2d, h_3d = CLFM(128, 128, name="clfm_hidden")(
+                uv1, h_2d, h_3d, interp_cache=interp_cache
+            )
 
         # flow heads + residual update
         delta_2d = FlowHead2D(name="flow_head_2d")(h_2d)
@@ -173,15 +178,27 @@ class CamLiRAFTCore(nn.Module):
         uv1 = project_pc2image(xyz1, camera_info) * scale
         uv2 = project_pc2image(xyzs2[0], camera_info) * scale
 
+        # the pixel-grid KNN for CLFM's 3D->2D scatter depends only on uv, so
+        # compute it once per frame and reuse across all fusion points (the
+        # in-loop fusions reuse uv1's cache every iteration)
+        from ..nn.clfm import fusion_interp_cache
+
+        cache_uv1 = fusion_interp_cache(uv1, feat_h, feat_w)
+        cache_uv2 = fusion_interp_cache(uv2, feat_h, feat_w)
+
         # fuse feature / context networks (shared CLFM across frames)
         if self.fuse_fnet:
             clfm_fnet = CLFM(128, 128, norm="batch_norm", name="clfm_fnet")
-            feat1_2d, feat1_3d = clfm_fnet(uv1, feat1_2d, feat1_3d, train=train)
-            feat2_2d, feat2_3d = clfm_fnet(uv2, feat2_2d, feat2_3d, train=train)
+            feat1_2d, feat1_3d = clfm_fnet(
+                uv1, feat1_2d, feat1_3d, train=train, interp_cache=cache_uv1
+            )
+            feat2_2d, feat2_3d = clfm_fnet(
+                uv2, feat2_2d, feat2_3d, train=train, interp_cache=cache_uv2
+            )
         if self.fuse_cnet:
             featc_2d, featc_3d = CLFM(
                 128, 128, norm="batch_norm", name="clfm_cnet"
-            )(uv1, featc_2d, featc_3d, train=train)
+            )(uv1, featc_2d, featc_3d, train=train, interp_cache=cache_uv1)
 
         # init hidden states
         featc_2d = dense(256, name="cnet_aligner_2d")(featc_2d)
@@ -232,6 +249,7 @@ class CamLiRAFTCore(nn.Module):
             "knn_indices": knn_indices,
             "up_idx": up_idx,
             "up_weights": up_weights,
+            "interp_cache_uv1": cache_uv1,
         }
         scan = nn.scan(
             FusedUpdateBlock,

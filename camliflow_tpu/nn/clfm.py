@@ -23,6 +23,24 @@ from ..ops.image import mesh_grid
 from .layers import DenseNormAct, dense
 
 
+def fusion_interp_cache(uv: jax.Array, image_h: int, image_w: int, k: int = 1):
+    """Precompute the pixel-grid KNN for FusionAwareInterp.
+
+    The nearest-projected-point indices and offsets depend only on `uv` and
+    the grid — both constant across RAFT refinement iterations — so callers
+    with an iteration loop compute this once and pass it through the scan
+    (the reference recomputes the full KNN every iteration,
+    camliraft_core.py:110-123 via clfm.py:60).
+    """
+    batch = uv.shape[0]
+    grid = mesh_grid(batch, image_h, image_w, dtype=jnp.float32)
+    grid = grid.reshape(batch, image_h * image_w, 2)  # [B, HW, 2]
+    knn_indices = k_nearest_neighbor_chunked(uv, grid, k)  # [B, HW, k]
+    knn_uv = gather_points(uv, knn_indices)  # [B, HW, k, 2]
+    knn_offset = knn_uv - grid[:, :, None, :]  # [B, HW, k, 2]
+    return knn_indices, knn_offset
+
+
 class FusionAwareInterp(nn.Module):
     """Scatter 3D features onto the image grid via nearest projected point."""
 
@@ -32,18 +50,19 @@ class FusionAwareInterp(nn.Module):
 
     @nn.compact
     def __call__(
-        self, uv: jax.Array, feat_2d: jax.Array, feat_3d: jax.Array, train: bool = False
+        self,
+        uv: jax.Array,
+        feat_2d: jax.Array,
+        feat_3d: jax.Array,
+        train: bool = False,
+        interp_cache=None,
     ) -> jax.Array:
         batch, image_h, image_w, _ = feat_2d.shape
-        grid = mesh_grid(batch, image_h, image_w, dtype=jnp.float32)
-        grid = grid.reshape(batch, image_h * image_w, 2)  # [B, HW, 2]
-
-        # chunked over the pixel grid: caps the [B, chunk, N] distance matrix
-        knn_indices = k_nearest_neighbor_chunked(uv, grid, self.k)  # [B, HW, k]
-        knn_uv = gather_points(uv, knn_indices)  # [B, HW, k, 2]
+        if interp_cache is None:
+            interp_cache = fusion_interp_cache(uv, image_h, image_w, self.k)
+        knn_indices, knn_offset = interp_cache
         knn_feat3d = gather_points(feat_3d, knn_indices)  # [B, HW, k, C3]
 
-        knn_offset = knn_uv - grid[:, :, None, :]  # [B, HW, k, 2]
         knn_offset_norm = jnp.linalg.norm(knn_offset, axis=-1, keepdims=True)
         score_input = jnp.concatenate([knn_offset, knn_offset_norm], axis=-1)
 
@@ -158,13 +177,19 @@ class CLFM(nn.Module):
 
     @nn.compact
     def __call__(
-        self, uv: jax.Array, feat_2d: jax.Array, feat_3d: jax.Array, train: bool = False
+        self,
+        uv: jax.Array,
+        feat_2d: jax.Array,
+        feat_3d: jax.Array,
+        train: bool = False,
+        interp_cache=None,
     ) -> tuple[jax.Array, jax.Array]:
         """
         Args:
           uv: [B, N, 2] projected point locations in feature-map pixel coords.
           feat_2d: [B, H, W, C2].
           feat_3d: [B, N, C3].
+          interp_cache: optional precomputed `fusion_interp_cache(uv, H, W)`.
         Returns:
           (out_2d [B, H, W, C2], out_3d [B, N, C3]).
         """
@@ -180,6 +205,7 @@ class CLFM(nn.Module):
             jax.lax.stop_gradient(feat_2d),
             jax.lax.stop_gradient(feat_3d),
             train=train,
+            interp_cache=interp_cache,
         )
         out2d = fusion_cls(
             self.in_channels_2d, norm=self.norm, name="fuse2d", **kwargs

@@ -110,26 +110,81 @@ def corr_lookup_2d(
       [B, H, W, num_levels * (2r+1)^2] correlation features.
 
     Reference semantics: models/raft_core.py:70-107 (grid_sample with zeros
-    padding, align_corners=True; delta window dy-major).
+    padding, align_corners=True). TPU formulation: the (2r+1)^2 window samples
+    of one pixel share a single fractional offset, so instead of (2r+1)^2
+    independent bilinear gathers (which XLA lowers to millions of single-float
+    gathers), extract ONE contiguous (2r+2)^2 patch per pixel at the integer
+    base coordinate and apply the 2x2 bilinear blend to the whole patch —
+    exactly the same float math, ~10x faster on TPU.
+
+    Reference quirk preserved for checkpoint parity: the window offsets enter
+    as (x + dy_i, y + dx_j) with channel k = i*span + j
+    (raft_core.py:79-85 + 100-104), i.e. the x offset is the *major* index.
     """
     batch, height, width, _ = coords.shape
     r = radius
     span = 2 * r + 1
-    dx = jnp.linspace(-r, r, span, dtype=jnp.float32)
-    dy = jnp.linspace(-r, r, span, dtype=jnp.float32)
-    # Reference quirk preserved for checkpoint parity: meshgrid(dy, dx) is
-    # consumed as (x, y) offsets by the bilinear sampler
-    # (raft_core.py:79-85 + 100-104), i.e. channel k = i*span + j samples the
-    # offset (x + dy_i, y + dx_j). Symmetric in coverage, but the channel
-    # order matters to the motion encoder's weights.
-    delta = jnp.stack(
-        jnp.meshgrid(dy, dx, indexing="ij"), axis=-1
-    ).reshape(-1, 2)  # [span*span, 2] consumed as (x, y)
+    patch = 2 * r + 2
+    pad = 2 * r + 4  # covers any clamped base; clamped coords land on zeros
 
-    coords_flat = coords.reshape(batch * height * width, 1, 2).astype(jnp.float32)
+    coords_flat = coords.reshape(batch * height * width, 2).astype(jnp.float32)
     out_pyramid = []
     for i, corr in enumerate(pyramid):
-        coords_lvl = coords_flat / (2.0**i) + delta[None]  # [BHW, span^2, 2]
-        sampled = grid_sample_pixel(corr, coords_lvl, padding_mode="zeros")
+        rows = corr.shape[0]
+        level_h, level_w = corr.shape[1:3]
+        c = coords_flat / (2.0**i)
+        # clamp far-out coords; everything at/beyond the clamp samples only
+        # zero padding, matching grid_sample's zeros mode
+        cx = jnp.clip(c[:, 0], -(r + 2.0), level_w + r + 1.0)
+        cy = jnp.clip(c[:, 1], -(r + 2.0), level_h + r + 1.0)
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0)[:, None, None]
+        fy = (cy - y0)[:, None, None]
+
+        padded = jnp.pad(
+            corr[..., 0], ((0, 0), (pad, pad), (pad, pad))
+        )  # [rows, h+2p, w+2p]
+        start_y = (y0 + (pad - r)).astype(jnp.int32)
+        start_x = (x0 + (pad - r)).astype(jnp.int32)
+
+        # Patch extraction as two batched one-hot matmuls — all MXU, no
+        # gathers (TPU gathers of small blocks are an order of magnitude
+        # slower than the equivalent dense contraction). One-hot entries are
+        # exactly 0/1 so the result is bit-identical to slicing; HIGHEST
+        # precision keeps the f32 corr values un-truncated.
+        ph, pw = padded.shape[1:]
+        patch_ids = jax.lax.broadcasted_iota(jnp.int32, (1, patch, 1), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ph), 2)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pw), 2)
+        row_sel = (row_ids == start_y[:, None, None] + patch_ids).astype(
+            jnp.float32
+        )  # [rows, P, ph]
+        col_sel = (col_ids == start_x[:, None, None] + patch_ids).astype(
+            jnp.float32
+        )  # [rows, P, pw]
+        rows_slab = jnp.einsum(
+            "rph,rhw->rpw",
+            row_sel,
+            padded,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        patches = jnp.einsum(
+            "rpw,rqw->rpq",
+            rows_slab,
+            col_sel,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [rows, P(y), P(x)]
+
+        blended = (
+            (1.0 - fy) * (1.0 - fx) * patches[:, :-1, :-1]
+            + (1.0 - fy) * fx * patches[:, :-1, 1:]
+            + fy * (1.0 - fx) * patches[:, 1:, :-1]
+            + fy * fx * patches[:, 1:, 1:]
+        )  # [rows, span, span] indexed [y-offset j, x-offset i]
+        # channel k = i*span + j with i the x-offset (reference quirk)
+        sampled = blended.transpose(0, 2, 1).reshape(rows, span * span)
         out_pyramid.append(sampled.reshape(batch, height, width, span * span))
     return jnp.concatenate(out_pyramid, axis=-1)

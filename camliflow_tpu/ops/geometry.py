@@ -56,10 +56,21 @@ def k_nearest_neighbor(input_xyz: jax.Array, query_xyz: jax.Array, k: int) -> ja
       [B, N, k] int32 indices into `input_xyz`, sorted ascending by distance.
 
     Reference semantics: models/csrc/wrapper.py:106-127 (dense distance +
-    topk(largest=False)). `lax.top_k` breaks ties by smallest index, matching
-    the PyTorch fallback.
+    topk(largest=False)). Both selection paths break ties by smallest index,
+    matching the PyTorch fallback.
+
     """
     dists = squared_distance(query_xyz, input_xyz)  # [B, N, M]
+    return knn_from_dists(dists, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_from_dists(dists: jax.Array, k: int) -> jax.Array:
+    """Top-k smallest along the last axis of a precomputed distance matrix.
+
+    Lets callers share one distance matrix across several selections (e.g.
+    prefix-nested pyramid levels are column-prefixes of the finest level's
+    matrix)."""
     _, idx = jax.lax.top_k(-dists, k)
     return idx.astype(jnp.int32)
 
