@@ -78,16 +78,17 @@ class FusedUpdateBlock(nn.Module):
 
         flow_2d = jax.lax.stop_gradient(flow_2d)
         flow_3d = jax.lax.stop_gradient(flow_3d)
-        xyzs2_warp = [
-            backwarp_3d(xyz1, xyz2_lvl, flow_3d) for xyz2_lvl in consts["xyzs2"]
-        ]
+        # one backwarp at the finest level serves all prefix-nested levels
+        xyzs2 = consts["xyzs2"]
+        xyz2_warp_full = backwarp_3d(xyz1, xyzs2[0], flow_3d)
+        level_sizes = tuple(x.shape[1] for x in xyzs2)
 
         # correlation lookups
         corr_2d = corr_lookup_2d(
             consts["pyramid_2d"], consts["grid"] + flow_2d, radius=self.corr_radius
         )
         corr_3d = Correlation3D(out_channels=128, k=16, name="correlation_3d")(
-            xyz1, xyzs2_warp, consts["pyramid_3d"]
+            xyz1, xyz2_warp_full, level_sizes, consts["pyramid_3d"]
         )
         interp_cache = consts["interp_cache_uv1"]
         if self.fuse_corr:

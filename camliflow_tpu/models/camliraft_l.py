@@ -86,7 +86,14 @@ def build_cost_volume_pyramid_3d(
 
 
 class Correlation3D(nn.Module):
-    """Multi-scale correlation lookup (camliraft_l_core.py:40-101)."""
+    """Multi-scale correlation lookup (camliraft_l_core.py:40-101).
+
+    TPU optimisation: the frame-2 pyramid levels are prefix-nested (FPS
+    ordering), so every level's warped cloud is a row-prefix of the finest
+    level's. One distance matrix [B, N, M0] therefore serves all four levels
+    as column-prefixes — 4 distance matmuls collapse into 1; only the 4
+    top-k selections remain per level. Results are bit-identical.
+    """
 
     out_channels: int = 128
     k: int = 16
@@ -95,22 +102,25 @@ class Correlation3D(nn.Module):
     def __call__(
         self,
         xyz1: jax.Array,
-        xyzs2_warp: list[jax.Array],
+        xyz2_warp_full: jax.Array,
+        level_sizes: tuple[int, ...],
         pyramid: list[jax.Array],
         train: bool = False,
     ) -> jax.Array:
+        from ..ops.geometry import knn_from_dists, squared_distance
+
         cost_mlp = MLP(
             [self.out_channels // 4, self.out_channels // 4],
             act="relu",
             name="cost_mlp",
         )
+        dists = squared_distance(xyz1, xyz2_warp_full)  # [B, N, M0]
         costs = []
-        for xyz2, cost_volume in zip(xyzs2_warp, pyramid):
-            # for each point in xyz1, find neighbours in (warped) xyz2
-            knn_idx = k_nearest_neighbor(xyz2, xyz1, k=self.k)  # [B, N, k]
-            knn_xyz2 = gather_points(xyz2, knn_idx)
+        for m_l, cost_volume in zip(level_sizes, pyramid):
+            knn_idx = knn_from_dists(dists[:, :, :m_l], k=self.k)  # [B, N, k]
+            knn_xyz2 = gather_points(xyz2_warp_full, knn_idx)
             knn_xyz2_norm = knn_xyz2 - xyz1[:, :, None, :]  # [B, N, k, 3]
-            # gather correlation entries row-wise: [B, N, M] x [B, N, k]
+            # gather correlation entries row-wise: [B, N, M_l] x [B, N, k]
             knn_corr = jnp.take_along_axis(cost_volume, knn_idx, axis=2)[..., None]
             cost = cost_mlp(
                 jnp.concatenate(
@@ -204,11 +214,15 @@ class UpdateBlock3D(nn.Module):
         h, flow = carry
         xyz1 = consts["xyz1"]
         flow = jax.lax.stop_gradient(flow)
-        xyzs2_warp = [
-            backwarp_3d(xyz1, xyz2_lvl, flow) for xyz2_lvl in consts["xyzs2"]
-        ]
+        # One backwarp serves all pyramid levels: the levels are prefix-nested
+        # (FPS order) and backwarp_3d is pointwise in its queries, so warping
+        # the finest level and row-slicing is bit-identical to the reference's
+        # per-level warps (camliraft_l_core.py:202).
+        xyzs2 = consts["xyzs2"]
+        xyz2_warp_full = backwarp_3d(xyz1, xyzs2[0], flow)
+        level_sizes = tuple(x.shape[1] for x in xyzs2)
         corr = Correlation3D(out_channels=128, k=16, name="correlation")(
-            xyz1, xyzs2_warp, consts["pyramid"], train=train
+            xyz1, xyz2_warp_full, level_sizes, consts["pyramid"], train=train
         )
         motion = MotionEncoder3D(corr_dim=128, name="motion_encoder")(
             xyz1, flow, corr, consts["knn_indices"], train=train

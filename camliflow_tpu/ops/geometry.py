@@ -59,9 +59,25 @@ def k_nearest_neighbor(input_xyz: jax.Array, query_xyz: jax.Array, k: int) -> ja
     topk(largest=False)). Both selection paths break ties by smallest index,
     matching the PyTorch fallback.
 
+    TPU note: small-k selections route to a Pallas kernel (tiled distance
+    matmul + k argmin/mask passes in VMEM), which beats lax.top_k's sort for
+    k <= 8; larger k uses the dense matrix + top_k.
     """
+    if k <= 8 and _on_tpu():
+        from .pallas_knn import k_nearest_neighbor_pallas
+
+        return k_nearest_neighbor_pallas(input_xyz, query_xyz, k)
     dists = squared_distance(query_xyz, input_xyz)  # [B, N, M]
     return knn_from_dists(dists, k)
+
+
+@functools.cache
+def _on_tpu() -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform not in ("cpu", "gpu")
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

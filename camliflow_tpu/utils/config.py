@@ -15,6 +15,7 @@ with a dependency-free equivalent:
 from __future__ import annotations
 
 import copy
+import re
 from pathlib import Path
 from typing import Any
 
@@ -86,16 +87,43 @@ def deep_merge(base: Config, update: dict) -> Config:
     return out
 
 
+_SCI_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _fix_numbers(node: Any) -> Any:
+    """YAML 1.1 loads '1e-3' as a string; convert such scalars to float."""
+    if isinstance(node, dict):
+        return {k: _fix_numbers(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_fix_numbers(v) for v in node]
+    if isinstance(node, str) and _SCI_FLOAT.match(node):
+        return float(node)
+    return node
+
+
 def load_yaml(path: str | Path) -> Config:
     with open(path) as f:
         data = yaml.safe_load(f) or {}
     data.pop("_package_", None)
-    return Config(data)
+    return Config(_fix_numbers(data))
 
 
 def _coerce(text: str) -> Any:
-    """YAML-parse a scalar override value ('1'->int, 'true'->bool, ...)."""
-    return yaml.safe_load(text)
+    """YAML-parse a scalar override value ('1'->int, 'true'->bool, ...).
+
+    YAML 1.1 doesn't recognise '1e-3' as a float (needs '1.0e-3'); fall back
+    to numeric parsing so CLI-style overrides behave as expected."""
+    value = yaml.safe_load(text)
+    if isinstance(value, str):
+        try:
+            return int(value)
+        except ValueError:
+            pass
+        try:
+            return float(value)
+        except ValueError:
+            return value
+    return value
 
 
 def parse_overrides(cfg: Config, overrides: list[str]) -> Config:
