@@ -44,9 +44,9 @@ def _knn_kernel(q_ref, p_ref, out_ref, *, k: int):
         d = jnp.where(col_ids == idx[:, None], jnp.inf, d)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def k_nearest_neighbor_pallas(
-    input_xyz: jax.Array, query_xyz: jax.Array, k: int
+    input_xyz: jax.Array, query_xyz: jax.Array, k: int, interpret: bool = False
 ) -> jax.Array:
     """[B, M, D] points, [B, N, D] queries -> [B, N, k] int32 indices."""
     batch, n_queries, dim = query_xyz.shape
@@ -72,5 +72,6 @@ def k_nearest_neighbor_pallas(
         out_specs=pl.BlockSpec(
             (1, _TILE_N, k), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(padded_q, input_xyz)
     return out[:, :n_queries]

@@ -1,0 +1,101 @@
+"""Protocol evaluator tests against synthetic datasets and a tiny model.
+
+Checks the metric conventions of the 7 reference protocols (eval_things.py,
+eval_sintel.py, eval_*_sf.py) without needing real datasets.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from camliflow_tpu.runtime.evaluator import Evaluator
+from camliflow_tpu.utils.config import Config
+
+
+class SyntheticPCDataset:
+    """LiDAR-only samples with a known constant flow."""
+
+    def __init__(self, n_samples=4, n=256, flow=0.02, with_noc=False):
+        self.n_samples = n_samples
+        self.n = n
+        self.flow = flow
+        self.with_noc = with_noc
+
+    def __len__(self):
+        return self.n_samples
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(i)
+        pc1 = rng.randn(self.n, 3).astype(np.float32)
+        pc1[:, 2] = np.abs(pc1[:, 2]) * 10 + 5
+        pc2 = pc1 + self.flow
+        out = {
+            "index": i,
+            "pcs": np.concatenate([pc1, pc2], axis=1).astype(np.float32),
+            "flow_3d": (pc2 - pc1).astype(np.float32),
+            "intrinsics": np.float32([1050, 479.5, 269.5]),
+        }
+        if self.with_noc:
+            out["noc_mask_3d"] = (rng.rand(self.n) > 0.2).astype(np.float32)
+        return out
+
+
+@pytest.fixture(scope="module")
+def evaluator_factory():
+    cfgs = Config(
+        {
+            "model": {
+                "name": "camliraft_l",
+                "n_iters_train": 1,
+                "n_iters_eval": 1,
+                "ids": {"enabled": False},
+                "loss": {"gamma": 0.8, "order": "l2-norm"},
+                "n_samples_list": [128, 64, 32, 16],
+            },
+            "testset": {"n_workers": 0},
+            "ckpt": {"path": None},
+        }
+    )
+
+    from camliflow_tpu.models import camliraft_l as m
+
+    sample = SyntheticPCDataset()[0]
+    inputs = {
+        k: jnp.asarray(v)[None]
+        for k, v in sample.items()
+        if isinstance(v, np.ndarray)
+    }
+    model = m.CamLiRAFTL(cfgs=cfgs.model.to_dict(), train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), inputs)
+
+    def make(dataset):
+        return Evaluator(cfgs, variables=variables, batch_size=2, dataset=dataset)
+
+    return make
+
+
+def test_things_protocol_3d(evaluator_factory):
+    ev = evaluator_factory(SyntheticPCDataset())
+    results = ev.run_things()
+    assert "EPE3d" in results and np.isfinite(results["EPE3d"])
+    assert 0.0 <= results["5cm"] <= 1.0
+
+
+def test_sf_protocol_hpl(evaluator_factory):
+    ev = evaluator_factory(SyntheticPCDataset())
+    results = ev.run_sf_protocol(per_sample_average=False, use_noc_mask=False)
+    assert set(results) == {"EPE3d", "AccS", "AccR", "Outlier"}
+    assert 0.0 <= results["AccS"] <= 1.0
+
+
+def test_sf_protocol_flownet3d_noc(evaluator_factory):
+    ev = evaluator_factory(SyntheticPCDataset(with_noc=True))
+    results = ev.run_sf_protocol(per_sample_average=True, use_noc_mask=True)
+    assert np.isfinite(results["EPE3d"])
+
+
+def test_sf_protocol_per_sample(evaluator_factory):
+    ev = evaluator_factory(SyntheticPCDataset())
+    results = ev.run_sf_protocol(per_sample_average=True, use_noc_mask=False)
+    assert np.isfinite(results["Outlier"])

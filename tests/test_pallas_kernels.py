@@ -1,0 +1,41 @@
+"""Interpret-mode tests for the Pallas TPU kernels (run on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from camliflow_tpu import ops
+from camliflow_tpu.ops.pallas_fps import furthest_point_sampling_pallas
+from camliflow_tpu.ops.pallas_knn import k_nearest_neighbor_pallas
+
+
+def test_pallas_knn_matches_xla(rng):
+    pts = jnp.asarray(rng.randn(2, 300, 3).astype(np.float32))
+    q = jnp.asarray(rng.randn(2, 150, 3).astype(np.float32))
+    ref = np.asarray(ops.k_nearest_neighbor(pts, q, 5))
+    got = np.asarray(k_nearest_neighbor_pallas(pts, q, 5, interpret=True))
+    # selected distances must agree (indices may differ on exact ties)
+    d = np.asarray(ops.squared_distance(q, pts))
+    np.testing.assert_allclose(
+        np.take_along_axis(d, got, -1),
+        np.take_along_axis(d, ref, -1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_pallas_knn_2d(rng):
+    pts = jnp.asarray(rng.rand(1, 200, 2).astype(np.float32) * 50)
+    q = jnp.asarray(rng.rand(1, 260, 2).astype(np.float32) * 50)
+    ref = np.asarray(ops.k_nearest_neighbor(pts, q, 1))
+    got = np.asarray(k_nearest_neighbor_pallas(pts, q, 1, interpret=True))
+    d = np.asarray(ops.squared_distance(q, pts))
+    np.testing.assert_allclose(
+        np.take_along_axis(d, got, -1), np.take_along_axis(d, ref, -1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_pallas_fps_matches_xla(rng):
+    pc = jnp.asarray(rng.randn(2, 512, 3).astype(np.float32))
+    ref = np.asarray(ops.furthest_point_sampling(pc, 128))
+    got = np.asarray(furthest_point_sampling_pallas(pc, 128, interpret=True))
+    np.testing.assert_array_equal(ref, got)
