@@ -125,6 +125,13 @@ class Trainer:
                 max_to_keep=int(cfgs.ckpt.get("max_to_keep", 3)), create=True
             ),
         )
+        # best checkpoints live in their own manager: orbax requires strictly
+        # increasing steps within one manager, so a "best" sentinel step would
+        # silently block subsequent epoch saves
+        self.best_mgr = ocp.CheckpointManager(
+            (self.log_dir / "ckpts_best").absolute(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
         if cfgs.ckpt.get("resume", False) and self.ckpt_mgr.latest_step() is not None:
             self.load_ckpt()
 
@@ -156,6 +163,10 @@ class Trainer:
                     self.best_metrics = metrics
                     self.save_ckpt(epoch, best=True)
             self.save_ckpt(epoch)
+        # finalize async orbax writes before the process exits
+        self.ckpt_mgr.wait_until_finished()
+        self.best_mgr.wait_until_finished()
+        logger.info("training finished")
 
     def train_one_epoch(self, epoch: int):
         from ..utils.profiling import BadLossChecker
@@ -222,8 +233,8 @@ class Trainer:
             payload["batch_stats"] = jax.tree.map(np.asarray, self.state.batch_stats)
         if self.best_metrics is not None:
             payload["best_metrics"] = dict(self.best_metrics)
-        step = 1_000_000 if best else epoch
-        self.ckpt_mgr.save(step, args=ocp.args.StandardSave(payload))
+        mgr = self.best_mgr if best else self.ckpt_mgr
+        mgr.save(epoch, args=ocp.args.StandardSave(payload))
 
     def load_ckpt(self):
         step = self.ckpt_mgr.latest_step()

@@ -40,6 +40,10 @@ def main():
         overrides=overrides,
     )
 
+    from camliflow_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
     from camliflow_tpu.runtime.evaluator import Evaluator
     from camliflow_tpu.runtime.trainer import init_logging
 

@@ -48,12 +48,9 @@ def main():
     if accum > 1:
         cfgs.model.batch_size = cfgs.model.batch_size // accum
 
-    import jax
+    from camliflow_tpu.utils.jax_setup import setup_jax
 
-    try:  # multi-host initialisation is a no-op on a single host
-        jax.distributed.initialize()
-    except Exception:
-        pass
+    setup_jax()
 
     from camliflow_tpu.runtime.trainer import Trainer
 
