@@ -40,15 +40,20 @@ def save_variables(path: str | Path, variables: dict) -> None:
 
 
 def restore_variables(path: str | Path) -> dict:
-    """Restore {'params': ..., 'batch_stats': ...} from .npz or orbax dir."""
+    """Restore {'params': ..., 'batch_stats': ...} from .npz or orbax dir.
+
+    Accepts a CheckpointManager step directory (which nests the payload under
+    'default/'), a bare StandardCheckpointer directory, or a flat .npz."""
     path = Path(path)
     if path.is_dir():  # orbax checkpoint directory
         import orbax.checkpoint as ocp
 
+        if (path / "default").is_dir():
+            path = path / "default"
         ckptr = ocp.StandardCheckpointer()
         payload = ckptr.restore(path.absolute())
         variables = {"params": payload["params"]}
-        if "batch_stats" in payload:
+        if payload.get("batch_stats") is not None:
             variables["batch_stats"] = payload["batch_stats"]
         return variables
     data = np.load(path, allow_pickle=False)
