@@ -57,7 +57,10 @@ def build(batch_size: int, n_iters: int = 20):
 
 
 def main():
-    for batch_size in (4, 2, 1):
+    # the model is latency-bound (batching does not amortise): measure small
+    # batch sizes and report the best frame-pairs/sec
+    best = None
+    for batch_size in (1, 4):
         try:
             forward, variables, inputs = build(batch_size)
 
@@ -78,24 +81,22 @@ def main():
             dt = time.perf_counter() - t0
 
             fps = batch_size * n_steps / dt
-            print(
-                json.dumps(
-                    {
-                        "metric": "camliraft_inference_960x540_8192pts",
-                        "value": round(fps, 3),
-                        "unit": "frame-pairs/sec/chip",
-                        "vs_baseline": round(fps / BASELINE_FPS, 4),
-                        "batch_size": batch_size,
-                        "n_iters": 20,
-                        "device": str(jax.devices()[0].device_kind),
-                    }
-                )
-            )
-            return
-        except Exception as e:  # OOM at this batch size -> try smaller
+            if best is None or fps > best["value"]:
+                best = {
+                    "metric": "camliraft_inference_960x540_8192pts",
+                    "value": round(fps, 3),
+                    "unit": "frame-pairs/sec/chip",
+                    "vs_baseline": round(fps / BASELINE_FPS, 4),
+                    "batch_size": batch_size,
+                    "n_iters": 20,
+                    "device": str(jax.devices()[0].device_kind),
+                }
+        except Exception as e:  # OOM at this batch size -> skip it
             print(f"batch_size={batch_size} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-    raise SystemExit("all batch sizes failed")
+    if best is None:
+        raise SystemExit("all batch sizes failed")
+    print(json.dumps(best))
 
 
 if __name__ == "__main__":

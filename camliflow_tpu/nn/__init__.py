@@ -1,8 +1,17 @@
 """Neural building blocks (flax.linen, channel-last)."""
 
-from .clfm import CLFM, FusionAwareInterp, AddFusion, ConcatFusion, GatedFusion, SKFusion
+from .clfm import (
+    CLFM,
+    AddFusion,
+    ConcatFusion,
+    FusionAwareInterp,
+    FusionAwareInterpCVPR,
+    GatedFusion,
+    SKFusion,
+    fusion_interp_cache,
+)
 from .layers import MLP, Conv2dNormAct, DenseNormAct, InstanceNorm, Norm, apply_act
-from .point_conv import PointConv, PointConvDW
+from .point_conv import PointConv, PointConvDW, PointNet2
 from .resnet import ResNetEncoder2D
 
 __all__ = [
@@ -12,12 +21,15 @@ __all__ = [
     "Conv2dNormAct",
     "DenseNormAct",
     "FusionAwareInterp",
+    "FusionAwareInterpCVPR",
+    "fusion_interp_cache",
     "GatedFusion",
     "InstanceNorm",
     "MLP",
     "Norm",
     "PointConv",
     "PointConvDW",
+    "PointNet2",
     "ResNetEncoder2D",
     "SKFusion",
     "apply_act",

@@ -80,6 +80,45 @@ class FusionAwareInterp(nn.Module):
         )
 
 
+class FusionAwareInterpCVPR(nn.Module):
+    """CVPR-paper variant of the 3D->2D interpolation (clfm.py:82-109).
+
+    Kept for checkpoint compatibility with CamLiFlow (CVPR 2022) weights;
+    the TPAMI models use FusionAwareInterp above.
+    """
+
+    n_channels_3d: int
+    norm: str | None = None
+
+    @nn.compact
+    def __call__(
+        self, uv: jax.Array, feat_2d: jax.Array, feat_3d: jax.Array, train: bool = False
+    ) -> jax.Array:
+        batch, h, w, c2 = feat_2d.shape
+        grid = mesh_grid(batch, h, w, dtype=jnp.float32).reshape(batch, h * w, 2)
+
+        nn_indices = k_nearest_neighbor_chunked(uv, grid, 1)[..., 0]  # [B, HW]
+        sampled = grid_sample_points(feat_2d, uv)  # [B, N, C2]
+        nn_feat2d = jax.lax.stop_gradient(
+            gather_points(sampled, nn_indices)
+        )  # [B, HW, C2]
+        nn_feat3d = jax.lax.stop_gradient(gather_points(feat_3d, nn_indices))
+        nn_offset = jax.lax.stop_gradient(gather_points(uv, nn_indices) - grid)
+        nn_corr = jnp.mean(
+            nn_feat2d * jax.lax.stop_gradient(feat_2d).reshape(batch, h * w, c2),
+            axis=-1,
+            keepdims=True,
+        )
+
+        feat = jnp.concatenate([nn_offset, nn_corr, nn_feat3d], axis=-1)
+        feat = feat.reshape(batch, h, w, -1)
+        for i in range(3):
+            feat = DenseNormAct(
+                self.n_channels_3d, norm=self.norm, name=f"mlps_{i}"
+            )(feat, train=train)
+        return feat
+
+
 class AddFusion(nn.Module):
     out_channels: int
     norm: str | None = None

@@ -83,6 +83,39 @@ class PointConv(nn.Module):
         return apply_act(out, self.act)
 
 
+class PointNet2(nn.Module):
+    """PointNet++-style set abstraction: MLP over [dxyz, feats], max over k.
+
+    Unused by the shipped models (like the reference's point_conv.py:73-99)
+    but part of the building-block inventory.
+    """
+
+    mlp_channels: tuple[int, ...]
+    norm: str | None = None
+    act: str | None = "leaky_relu"
+    k: int = 16
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,
+        features: jax.Array,
+        sampled_xyz: jax.Array | None = None,
+        knn_indices: jax.Array | None = None,
+        train: bool = False,
+    ) -> jax.Array:
+        if sampled_xyz is None:
+            sampled_xyz = xyz
+        knn_indices = _resolve_knn(xyz, sampled_xyz, knn_indices, self.k)
+        knn_xyz = gather_points(xyz, knn_indices)
+        rel_xyz = (knn_xyz - sampled_xyz[:, :, None, :]).astype(features.dtype)
+        knn_feats = gather_points(features, knn_indices)
+        out = MLP(list(self.mlp_channels), norm=self.norm, act=self.act, name="mlp")(
+            jnp.concatenate([rel_xyz, knn_feats], axis=-1), train=train
+        )
+        return jnp.max(out, axis=2)
+
+
 class PointConvDW(nn.Module):
     """Depthwise point conv: feat MLP * weight_net(dxyz), max over k."""
 
