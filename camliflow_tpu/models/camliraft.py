@@ -312,17 +312,20 @@ class CamLiRAFT(nn.Module):
         # masking it here reproduces the reference's module-wide .eval() walk.
         if self.cfgs.get("freeze_bn", False):
             train = False
-        flow_2d_seq, flow_3d_seq = CamLiRAFTCore(
-            n_iters=n_iters,
-            backbone_depth=self.cfgs["backbone"]["depth"],
-            fuse_fnet=bool(self.cfgs["fuse_fnet"]),
-            fuse_cnet=bool(self.cfgs["fuse_cnet"]),
-            fuse_corr=bool(self.cfgs["fuse_corr"]),
-            fuse_motion=bool(self.cfgs["fuse_motion"]),
-            fuse_hidden=bool(self.cfgs["fuse_hidden"]),
-            n_samples_list=n_samples,
-            name="core",
-        )(image1, image2, pc1, pc2, paral_cam, train=train)
+        from ..nn.layers import compute_precision
+
+        with compute_precision(self.cfgs.get("compute_dtype")):
+            flow_2d_seq, flow_3d_seq = CamLiRAFTCore(
+                n_iters=n_iters,
+                backbone_depth=self.cfgs["backbone"]["depth"],
+                fuse_fnet=bool(self.cfgs["fuse_fnet"]),
+                fuse_cnet=bool(self.cfgs["fuse_cnet"]),
+                fuse_corr=bool(self.cfgs["fuse_corr"]),
+                fuse_motion=bool(self.cfgs["fuse_motion"]),
+                fuse_hidden=bool(self.cfgs["fuse_hidden"]),
+                n_samples_list=n_samples,
+                name="core",
+            )(image1, image2, pc1, pc2, paral_cam, train=train)
 
         flow_2d_seq = jax.vmap(padder.unpad)(flow_2d_seq)
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.correlation import all_pairs_correlation_pyramid, corr_lookup_2d
 from ..ops.image import InputPadder, convex_upsample, mesh_grid
-from ..nn.layers import torch_kernel_init, dense
+from ..nn.layers import compute_dtype, dense, torch_kernel_init
 from ..nn.resnet import ResNetEncoder2D
 from .losses import calc_sequence_loss
 from .metrics import compute_2d_metrics, merge_metrics, scalar_metric
@@ -31,7 +31,10 @@ from .metrics import compute_2d_metrics, merge_metrics, scalar_metric
 def _conv(out, kernel, name):
     """Raw torch-style conv with symmetric padding, bias, and torch init."""
     pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel)
-    return nn.Conv(out, kernel, padding=pad, kernel_init=torch_kernel_init, name=name)
+    return nn.Conv(
+        out, kernel, padding=pad, kernel_init=torch_kernel_init,
+        dtype=compute_dtype(), name=name,
+    )
 
 
 class GRU2D(nn.Module):

@@ -24,6 +24,34 @@ import jax
 import jax.numpy as jnp
 
 
+# ---------------------------------------------------------------------------
+# Mixed-precision policy (the reference's AMP autocast, train.py:147):
+# a trace-time context selects the computation dtype of Dense/Conv layers;
+# parameters stay f32 and the models' explicit .astype(jnp.float32) casts mark
+# the fp32 islands (cost volumes, GRU/flow-head boundaries) exactly where the
+# reference disables autocast. bf16 keeps f32's exponent range, so no loss
+# scaling is needed.
+import contextlib
+
+_COMPUTE_DTYPE: list = [None]  # None -> full f32
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE[-1]
+
+
+@contextlib.contextmanager
+def compute_precision(dtype):
+    """Set the computation dtype ('bfloat16' or None) while tracing a model."""
+    if isinstance(dtype, str):
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(dtype, None)
+    _COMPUTE_DTYPE.append(dtype)
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE.pop()
+
+
 # torch nn.Linear/nn.Conv default init: kaiming_uniform(a=sqrt(5)), i.e.
 # U(-1/sqrt(fan_in), 1/sqrt(fan_in)). Matching it keeps early-training
 # activation magnitudes in range through the deep un-normalised estimator
@@ -35,9 +63,13 @@ torch_kernel_init = nn.initializers.variance_scaling(
 
 
 def dense(features: int, use_bias: bool = True, name: str | None = None) -> nn.Dense:
-    """nn.Dense with torch-parity default init."""
+    """nn.Dense with torch-parity default init and the active compute dtype."""
     return nn.Dense(
-        features, use_bias=use_bias, kernel_init=torch_kernel_init, name=name
+        features,
+        use_bias=use_bias,
+        kernel_init=torch_kernel_init,
+        dtype=compute_dtype(),
+        name=name,
     )
 
 
@@ -59,6 +91,7 @@ def conv2d(
         kernel_dilation=dilation,
         use_bias=use_bias,
         kernel_init=torch_kernel_init,
+        dtype=compute_dtype(),
         name=name,
     )
 
@@ -166,6 +199,7 @@ class Conv2dNormAct(nn.Module):
             padding=pad,
             use_bias=self.norm is None,
             kernel_init=torch_kernel_init,
+            dtype=compute_dtype(),
         )(x)
         x = Norm(self.norm)(x, train=train)
         return apply_act(x, self.act)

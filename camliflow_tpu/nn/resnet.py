@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Conv2dNormAct, torch_kernel_init
+from .layers import Conv2dNormAct, compute_dtype, torch_kernel_init
 
 # (planes per stage, blocks per stage) for the torchvision depths
 _STAGE_SPECS = {
@@ -36,7 +36,7 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=torch_kernel_init, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=torch_kernel_init, dtype=compute_dtype(), name="conv1")(x)
         out = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(out)
         out = nn.relu(out)
         # stride on the 3x3 (torch/mmdet 'pytorch' style), explicit pad 1
@@ -47,11 +47,12 @@ class BottleneckBlock(nn.Module):
             padding=((1, 1), (1, 1)),
             use_bias=False,
             kernel_init=torch_kernel_init,
+            dtype=compute_dtype(),
             name="conv2",
         )(out)
         out = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn2")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, kernel_init=torch_kernel_init, name="conv3")(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, kernel_init=torch_kernel_init, dtype=compute_dtype(), name="conv3")(out)
         out = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn3")(out)
         if self.has_downsample:
             identity = nn.Conv(
@@ -82,12 +83,13 @@ class BasicBlock(nn.Module):
             padding=((1, 1), (1, 1)),
             use_bias=False,
             kernel_init=torch_kernel_init,
+            dtype=compute_dtype(),
             name="conv1",
         )(x)
         out = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
-            self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, kernel_init=torch_kernel_init, name="conv2"
+            self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, kernel_init=torch_kernel_init, dtype=compute_dtype(), name="conv2"
         )(out)
         out = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn2")(out)
         if self.has_downsample:
@@ -118,7 +120,7 @@ class ResNetEncoder2D(nn.Module):
 
         # stem: 7x7/2 pad 3 + BN + relu + maxpool 3x3/2 pad 1
         x = nn.Conv(
-            64, (7, 7), strides=2, padding=((3, 3), (3, 3)), use_bias=False, kernel_init=torch_kernel_init, name="conv1"
+            64, (7, 7), strides=2, padding=((3, 3), (3, 3)), use_bias=False, kernel_init=torch_kernel_init, dtype=compute_dtype(), name="conv1"
         )(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)

@@ -204,3 +204,22 @@ def test_instance_norm_matches_torch(rng):
     got = np.asarray(mod.apply(params, jnp.asarray(x)))
     want = tF.instance_norm(t(x).transpose(1, 2)).transpose(1, 2).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_compute_precision_policy(rng):
+    """compute_precision('bfloat16') switches layer computation dtype while
+    parameters stay f32; default stays f32."""
+    from camliflow_tpu.nn import layers
+
+    x = jnp.asarray(rng.randn(2, 6, 12).astype(np.float32))
+    with layers.compute_precision("bfloat16"):
+        mod = cnn.DenseNormAct(8, norm=None)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(params, x)
+    assert out.dtype == jnp.bfloat16
+    assert params["params"]["Dense_0"]["kernel"].dtype == jnp.float32
+    # context restored
+    assert layers.compute_dtype() is None
+    mod2 = cnn.DenseNormAct(8, norm=None)
+    params2 = mod2.init(jax.random.PRNGKey(0), x)
+    assert mod2.apply(params2, x).dtype == jnp.float32
