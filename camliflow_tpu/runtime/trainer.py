@@ -93,6 +93,21 @@ class Trainer:
         variables = jax.jit(self.model_train.init)(
             jax.random.PRNGKey(int(cfgs.get("seed", 0))), sample_batch
         )
+        # ImageNet-pretrained backbone (reference raft_core.py:20-23)
+        pretrained = cfgs.model.get_path("backbone.pretrained")
+        if pretrained and Path(pretrained).exists():
+            from .checkpoint import load_backbone_pretrained
+
+            variables, n_loaded = load_backbone_pretrained(
+                dict(variables), pretrained
+            )
+            logger.info(
+                "loaded %d pretrained backbone tensors from %s", n_loaded, pretrained
+            )
+        elif pretrained:
+            logger.warning("backbone.pretrained=%s not found, training from scratch",
+                           pretrained)
+
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
         n_params = sum(p.size for p in jax.tree.leaves(params))
