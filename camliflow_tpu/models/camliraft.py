@@ -152,18 +152,32 @@ class CamLiRAFTCore(nn.Module):
     def __call__(self, image1, image2, pc1, pc2, camera_info, train: bool = False):
         xyzs1, xyzs2, _, _ = build_pc_pyramid(pc1, pc2, list(self.n_samples_list))
 
-        # 2D feature/context networks
+        batch = image1.shape[0]
+
+        # 2D feature/context networks. Both frames ride one fnet call: the
+        # backbone's BatchNorms always use running statistics (norm_eval),
+        # so stacking is bit-identical to the reference's two calls
+        # (camliraft_core.py:40-41) at better MXU utilisation.
         fnet_2d = ResNetEncoder2D(depth=self.backbone_depth, name="fnet_2d")
-        feat1_2d = fnet_2d(image1, train=train)
-        feat2_2d = fnet_2d(image2, train=train)
+        fmaps = fnet_2d(jnp.concatenate([image1, image2], axis=0), train=train)
+        feat1_2d, feat2_2d = fmaps[:batch], fmaps[batch:]
         featc_2d = ResNetEncoder2D(depth=self.backbone_depth, name="cnet_2d")(
             image1, train=train
         )
 
-        # 3D feature/context networks
+        # 3D feature/context networks. Stacking changes train-mode BatchNorm
+        # batch statistics, so only eval stacks (eval BN uses running stats ->
+        # identical); training keeps the reference's per-frame calls.
         fnet_3d = Encoder3D(name="fnet_3d")
-        feat1_3d = fnet_3d(xyzs1[:3], train=train)[2]
-        feat2_3d = fnet_3d(xyzs2[:3], train=train)[2]
+        if train:
+            feat1_3d = fnet_3d(xyzs1[:3], train=train)[2]
+            feat2_3d = fnet_3d(xyzs2[:3], train=train)[2]
+        else:
+            stacked = [
+                jnp.concatenate([a, b], axis=0) for a, b in zip(xyzs1[:3], xyzs2[:3])
+            ]
+            feats = fnet_3d(stacked, train=train)[2]
+            feat1_3d, feat2_3d = feats[:batch], feats[batch:]
         featc_3d = Encoder3D(name="cnet_3d")(xyzs1[:3], train=train)[2]
 
         xyzs1, xyzs2 = xyzs1[2:], xyzs2[2:]
@@ -180,12 +194,16 @@ class CamLiRAFTCore(nn.Module):
         uv2 = project_pc2image(xyzs2[0], camera_info) * scale
 
         # the pixel-grid KNN for CLFM's 3D->2D scatter depends only on uv, so
-        # compute it once per frame and reuse across all fusion points (the
-        # in-loop fusions reuse uv1's cache every iteration)
+        # compute it once per frame (both frames batched through one KNN) and
+        # reuse across all fusion points — the in-loop fusions reuse uv1's
+        # cache every iteration
         from ..nn.clfm import fusion_interp_cache
 
-        cache_uv1 = fusion_interp_cache(uv1, feat_h, feat_w)
-        cache_uv2 = fusion_interp_cache(uv2, feat_h, feat_w)
+        cache_idx, cache_off = fusion_interp_cache(
+            jnp.concatenate([uv1, uv2], axis=0), feat_h, feat_w
+        )
+        cache_uv1 = (cache_idx[:batch], cache_off[:batch])
+        cache_uv2 = (cache_idx[batch:], cache_off[batch:])
 
         # fuse feature / context networks (shared CLFM across frames)
         if self.fuse_fnet:

@@ -114,22 +114,40 @@ class Correlation3D(nn.Module):
             act="relu",
             name="cost_mlp",
         )
+        n_levels = len(level_sizes)
         dists = squared_distance(xyz1, xyz2_warp_full)  # [B, N, M0]
-        costs = []
-        for m_l, cost_volume in zip(level_sizes, pyramid):
-            knn_idx = knn_from_dists(dists[:, :, :m_l], k=self.k)  # [B, N, k]
-            knn_xyz2 = gather_points(xyz2_warp_full, knn_idx)
-            knn_xyz2_norm = knn_xyz2 - xyz1[:, :, None, :]  # [B, N, k, 3]
-            # gather correlation entries row-wise: [B, N, M_l] x [B, N, k]
-            knn_corr = jnp.take_along_axis(cost_volume, knn_idx, axis=2)[..., None]
-            cost = cost_mlp(
-                jnp.concatenate(
-                    [knn_xyz2_norm.astype(jnp.float32), knn_corr], axis=-1
-                ),
-                train=train,
-            )
-            costs.append(jnp.sum(cost, axis=2))  # [B, N, out/4]
-        merged = jnp.concatenate(costs, axis=-1)
+
+        # select per level, then batch every gather / MLP across levels:
+        # neighbours all index the same warped cloud, and the per-level cost
+        # volumes concatenate along columns with index offsets, so 8 gathers +
+        # 4 MLP applications collapse into 2 gathers + 1 MLP (shared weights,
+        # matching the reference's level-shared cost_mlp,
+        # camliraft_l_core.py:45,92-95)
+        idx_levels = [
+            knn_from_dists(dists[:, :, :m_l], k=self.k) for m_l in level_sizes
+        ]
+        idx_cat = jnp.concatenate(idx_levels, axis=-1)  # [B, N, L*k]
+
+        knn_xyz2 = gather_points(xyz2_warp_full, idx_cat)  # [B, N, L*k, 3]
+        knn_xyz2_norm = knn_xyz2 - xyz1[:, :, None, :]
+
+        offsets = [0]
+        for m_l in level_sizes[:-1]:
+            offsets.append(offsets[-1] + m_l)
+        cv_cat = jnp.concatenate(pyramid, axis=-1)  # [B, N, sum(M_l)]
+        idx_off = jnp.concatenate(
+            [idx + off for idx, off in zip(idx_levels, offsets)], axis=-1
+        )
+        knn_corr = jnp.take_along_axis(cv_cat, idx_off, axis=2)[..., None]
+
+        cost = cost_mlp(
+            jnp.concatenate([knn_xyz2_norm.astype(jnp.float32), knn_corr], axis=-1),
+            train=train,
+        )  # [B, N, L*k, out/4]
+        batch, n_points = xyz1.shape[:2]
+        cost = cost.reshape(batch, n_points, n_levels, self.k, -1)
+        costs = jnp.sum(cost, axis=3)  # [B, N, L, out/4]
+        merged = costs.reshape(batch, n_points, -1)
         return DenseNormAct(self.out_channels, name="merge")(merged, train=train)
 
 

@@ -132,9 +132,11 @@ class RAFTCore(nn.Module):
     @nn.compact
     def __call__(self, image1, image2, train: bool = False):
         """image1/2: [B, H, W, 3] normalised. Returns [T, B, H, W, 2]."""
+        batch = image1.shape[0]
         fnet = ResNetEncoder2D(depth=self.backbone_depth, name="fnet")
-        fmap1 = fnet(image1, train=train)
-        fmap2 = fnet(image2, train=train)
+        # both frames in one backbone call (norm_eval BN -> bit-identical)
+        fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train=train)
+        fmap1, fmap2 = fmaps[:batch], fmaps[batch:]
 
         # all-pairs correlation (fnet_aligner: raft_core.py:47,52-54)
         aligner = dense(256, name="fnet_aligner")
