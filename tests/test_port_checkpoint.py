@@ -209,3 +209,52 @@ def test_port_camliraft_l_end_to_end(rng):
     new_flat = tree_to_flat(new_vars)
     for path, want in expected.items():
         np.testing.assert_array_equal(new_flat[path], want)
+
+
+def test_port_camliraft_full_coverage(rng):
+    """Every CamLiRAFT parameter must translate to a reference name — catches
+    module renames that silently break checkpoint porting."""
+    import jax
+
+    from camliflow_tpu.models import camliraft as m
+    from camliflow_tpu.runtime.checkpoint import tree_to_flat
+    from camliflow_tpu.utils.config import Config
+
+    cfgs = Config(
+        {
+            "name": "camliraft",
+            "freeze_bn": False,
+            "backbone": {"depth": 50},
+            "n_iters_train": 1,
+            "n_iters_eval": 1,
+            "fuse_fnet": True,
+            "fuse_cnet": True,
+            "fuse_corr": True,
+            "fuse_motion": True,
+            "fuse_hidden": True,
+            "loss2d": {"gamma": 0.8, "order": "l2-norm"},
+            "loss3d": {"gamma": 0.8, "order": "l2-norm"},
+            "n_samples_list": [256, 128, 64, 32, 16],
+        }
+    )
+    import jax.numpy as jnp
+
+    images = rng.randint(0, 255, size=(1, 64, 64, 6)).astype(np.float32)
+    pc1 = rng.randn(1, 512, 3).astype(np.float32)
+    pc1[..., 2] = np.abs(pc1[..., 2]) * 10 + 5
+    inputs = {
+        "images": jnp.asarray(images),
+        "pcs": jnp.asarray(np.concatenate([pc1, pc1 + 0.01], -1)),
+        "intrinsics": jnp.asarray(np.float32([[100, 31.5, 31.5]])),
+    }
+    model = m.CamLiRAFT(cfgs=cfgs.to_dict(), train_mode=False)
+    variables = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(0), inputs))
+
+    flat = tree_to_flat(variables)
+    unmapped = []
+    for path in flat:
+        _, rest = path.split("/", 1)
+        torch_name = our_path_to_torch(rest, "camliraft")
+        if torch_name is None:
+            unmapped.append(path)
+    assert not unmapped, f"{len(unmapped)} unmapped params, e.g. {unmapped[:5]}"
