@@ -71,7 +71,7 @@ def build_cost_volume_pyramid_3d(
         "bnc,bmc->bnm",
         feat1.astype(jnp.float32),
         feat2.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
         preferred_element_type=jnp.float32,
     ) / dim
     pyramid = [cost]

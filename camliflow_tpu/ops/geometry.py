@@ -36,7 +36,9 @@ def squared_distance(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
         "bnd,bmd->bnm",
         xyz1,
         xyz2,
-        precision=jax.lax.Precision.HIGHEST,
+        # HIGH (3-pass bf16) carries ~16 mantissa bits — ample for
+        # neighbour ordering at half the cost of HIGHEST
+        precision=jax.lax.Precision.HIGH,
         preferred_element_type=jnp.float32,
     )
     dist = dist + jnp.sum(xyz1**2, -1)[:, :, None]

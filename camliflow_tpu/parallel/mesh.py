@@ -28,6 +28,37 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(
+    data: int, spatial: int, devices=None, axis_names=("data", "spatial")
+) -> Mesh:
+    """2-D mesh for hybrid data x spatial parallelism.
+
+    The spatial axis shards image height across chips: GSPMD inserts the conv
+    halo exchanges and resharding collectives automatically once activations
+    are constrained to P('data', 'spatial') (see shard_batch_spatial). Useful
+    when per-chip HBM cannot hold the level-0 all-pairs correlation volume at
+    full KITTI resolution.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(devices, axis_names)
+
+
+def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
+    """Place a batch with images sharded (batch, height) over (data, spatial);
+    per-point and low-rank arrays shard on 'data' only."""
+    def put(key, x):
+        x = jnp.asarray(x)
+        if key == "images" or (key == "flow_2d" and x.ndim == 4):
+            spec = P("data", "spatial")
+        else:
+            spec = P("data")
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return {k: put(k, v) for k, v in batch.items()}
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Place a host-local batch dict with the leading axis sharded on `axis_name`."""
     sharding = NamedSharding(mesh, P(axis_name))

@@ -51,12 +51,20 @@ def branch_grad_norms(grads) -> dict[str, jax.Array]:
 
 
 def make_train_step(
-    model_train, loss_fn: Callable, tx: optax.GradientTransformation, cfgs: Any
+    model_train,
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    cfgs: Any,
+    donate: bool = True,
 ):
     """Build the jitted training step. `model_train` is the linen module with
-    train_mode=True; `loss_fn(outputs, inputs, cfgs) -> (loss, metrics)`."""
+    train_mode=True; `loss_fn(outputs, inputs, cfgs) -> (loss, metrics)`.
 
-    @partial(jax.jit, donate_argnums=(0,))
+    `donate=False` disables buffer donation (needed when the same state
+    buffers are reused across calls, e.g. the multi-mesh dryrun — device_put
+    may alias replicated copies to the same underlying buffer)."""
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: dict):
         def compute_loss(params):
             variables = {"params": params}
