@@ -187,13 +187,17 @@ class RAFT(nn.Module):
         image1, image2 = padder.pad(images[..., :3], images[..., 3:])
 
         n_iters = self.cfgs["n_iters_train"] if train else self.cfgs["n_iters_eval"]
-        flow_seq = RAFTCore(
-            n_iters=n_iters,
-            backbone_depth=self.cfgs["backbone"]["depth"]
-            if "backbone" in self.cfgs
-            else 50,
-            name="core",
-        )(image1, image2, train=train)
+        # backbone depth from either the backbone group or the reference's
+        # raft.yaml pretrain group (pretrain.depth when enabled)
+        if "backbone" in self.cfgs:
+            depth = self.cfgs["backbone"]["depth"]
+        elif "pretrain" in self.cfgs and self.cfgs["pretrain"].get("enabled", False):
+            depth = self.cfgs["pretrain"]["depth"]
+        else:
+            depth = 50
+        flow_seq = RAFTCore(n_iters=n_iters, backbone_depth=depth, name="core")(
+            image1, image2, train=train
+        )
 
         flow_seq = jax.vmap(padder.unpad)(flow_seq)
         return {"flow_2d": flow_seq[-1], "flow_2d_seq": flow_seq}

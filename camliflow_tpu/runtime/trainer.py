@@ -203,13 +203,14 @@ class Trainer:
                 )
             if self.is_main and i % int(self.cfgs.log.get("print_interval", 50)) == 0:
                 logger.info(
-                    "E %d S %d loss %.4f g2d %.3f g3d %.3f %.2fs/it",
+                    "E %d S %d loss %.4f g2d %.3f g3d %.3f %.2fs/it mem %.2fGB",
                     epoch + 1,
                     i,
                     float(loss),
                     float(telemetry["grad_norm_2d"]),
                     float(telemetry["grad_norm_3d"]),
                     (time.time() - t0) / (i + 1),
+                    _device_memory_gb(),
                 )
         summary = finalize_metrics(epoch_metrics)
         logger.info("train epoch %d: %s", epoch + 1, _fmt(summary))
@@ -236,38 +237,57 @@ class Trainer:
         with open(path, "a") as f:
             f.write(json.dumps({"tag": tag, "epoch": epoch, **summary}) + "\n")
 
-    def save_ckpt(self, epoch: int, best: bool = False):
-        if not self.is_main:
-            return
+    def _ckpt_payload(self, epoch: int) -> dict:
         payload = {
             "params": jax.tree.map(np.asarray, self.state.params),
             "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
-            "last_epoch": epoch,
+            "last_epoch": np.asarray(epoch, np.int32),
         }
         if self.state.batch_stats is not None:
             payload["batch_stats"] = jax.tree.map(np.asarray, self.state.batch_stats)
-        if self.best_metrics is not None:
-            payload["best_metrics"] = dict(self.best_metrics)
+        return payload
+
+    def save_ckpt(self, epoch: int, best: bool = False):
+        if not self.is_main:
+            return
         mgr = self.best_mgr if best else self.ckpt_mgr
-        mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        mgr.save(epoch, args=ocp.args.StandardSave(self._ckpt_payload(epoch)))
+        # best_metrics has a data-dependent key set, which breaks structured
+        # orbax restore — keep it in a sidecar json instead
+        if self.best_metrics is not None:
+            with open(self.log_dir / "best_metrics.json", "w") as f:
+                json.dump(dict(self.best_metrics), f)
 
     def load_ckpt(self):
         step = self.ckpt_mgr.latest_step()
-        payload = self.ckpt_mgr.restore(step)
+        # restore against the current state's structure so optax NamedTuple
+        # optimizer states come back as NamedTuples, not plain dicts
+        target = self._ckpt_payload(0)
+        payload = self.ckpt_mgr.restore(step, args=ocp.args.StandardRestore(target))
         self.state = TrainState(
             params=replicate_tree(payload["params"], self.mesh),
             batch_stats=replicate_tree(payload["batch_stats"], self.mesh)
             if "batch_stats" in payload
             else None,
-            opt_state=replicate_tree(payload["opt_state"], self.mesh)
-            if "opt_state" in payload
-            else self.tx.init(payload["params"]),
+            opt_state=replicate_tree(payload["opt_state"], self.mesh),
             step=jnp.zeros((), jnp.int32),
         )
         self.start_epoch = int(payload.get("last_epoch", -1)) + 1
-        self.best_metrics = payload.get("best_metrics")
+        best_path = self.log_dir / "best_metrics.json"
+        self.best_metrics = (
+            json.loads(best_path.read_text()) if best_path.exists() else None
+        )
         logger.info("resumed from epoch %d", self.start_epoch)
 
 
 def _fmt(summary: dict) -> str:
     return " ".join(f"{k}={v:.4f}" for k, v in sorted(summary.items()))
+
+
+def _device_memory_gb() -> float:
+    """Peak device memory telemetry (reference utils.py:96-101 get_max_memory)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) / 2**30
+    except Exception:
+        return 0.0
