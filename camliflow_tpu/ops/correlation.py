@@ -153,8 +153,9 @@ def corr_lookup_2d(
         # Patch extraction as two batched one-hot matmuls — all MXU, no
         # gathers (TPU gathers of small blocks are an order of magnitude
         # slower than the equivalent dense contraction). One-hot entries are
-        # exactly 0/1 so the result is bit-identical to slicing; HIGHEST
-        # precision keeps the f32 corr values un-truncated.
+        # exact in bf16, so 3-pass (HIGH) precision reproduces the selected
+        # values to ~17 mantissa bits (rel err ~1e-5) at half the MXU cost —
+        # far below the 1% EPE parity budget.
         ph, pw = padded.shape[1:]
         patch_ids = jax.lax.broadcasted_iota(jnp.int32, (1, patch, 1), 1)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ph), 2)
@@ -169,14 +170,14 @@ def corr_lookup_2d(
             "rph,rhw->rpw",
             row_sel,
             padded,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )
         patches = jnp.einsum(
             "rpw,rqw->rpq",
             rows_slab,
             col_sel,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )  # [rows, P(y), P(x)]
 
