@@ -266,8 +266,13 @@ class KITTITest:
         pc1 = pc1[pc1[..., -1] < self.cfgs.max_depth]
         pc2 = pc2[pc2[..., -1] < self.cfgs.max_depth]
 
-        image1 = io.zero_padding(image1, 376, 1242)
-        image2 = io.zero_padding(image2, 376, 1242)
+        # unified padded size; configurable via testset zero_padding
+        # (conf/testset/kitti.yaml — the reference hardcodes 376x1242)
+        pad_cfg = self.cfgs.get("zero_padding", {})
+        pad_h = int(pad_cfg.get("target_h", 376))
+        pad_w = int(pad_cfg.get("target_w", 1242))
+        image1 = io.zero_padding(image1, pad_h, pad_w)
+        image2 = io.zero_padding(image2, pad_h, pad_w)
 
         n_points = self.cfgs.n_points
         idxs1 = rng.choice(pc1.shape[0], size=n_points, replace=pc1.shape[0] < n_points)

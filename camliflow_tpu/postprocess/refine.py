@@ -225,10 +225,13 @@ def mod_flow(bg_mask, disp, disp_change, flow, K0, K1, bl, occ_mask, parallax_th
         tmp[tmp] = aligned_mask
         aligned_mask = tmp
 
+        # DLS was removed in OpenCV 5 (and internally mapped to EPnP in
+        # late OpenCV 4, which the reference ran on)
+        pnp_flag = getattr(cv2, "SOLVEPNP_DLS", cv2.SOLVEPNP_EPNP)
         _, rvec, T01 = cv2.solvePnP(
             reg_flow_P.T[aligned_mask.flatten(), np.newaxis],
             hp1[:2].T[aligned_mask.flatten(), np.newaxis],
-            K0, np.zeros(4), flags=cv2.SOLVEPNP_DLS,
+            K0, np.zeros(4), flags=pnp_flag,
         )
         _, rvec, T01 = cv2.solvePnP(
             reg_flow_P.T[aligned_mask, np.newaxis],
