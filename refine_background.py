@@ -23,7 +23,7 @@ from camliflow_tpu.postprocess import mod_flow
 
 
 def main(args):
-    for i in range(200):
+    for i in range(args.n_frames):
         np.random.seed(0)
 
         # cityscapes class ids <= 22 are static background (refine_background.py:14)
@@ -78,4 +78,5 @@ if __name__ == "__main__":
     parser.add_argument("--dataset_dir", default="datasets/kitti_scene_flow")
     parser.add_argument("--dataset_split", default="testing")
     parser.add_argument("--semantic_dir", default="semantic_ddr")
+    parser.add_argument("--n_frames", type=int, default=200)
     main(parser.parse_args())
