@@ -140,6 +140,7 @@ class CamLiRAFTCore(nn.Module):
     """Fused two-branch RAFT core (camliraft_core.py:9-145)."""
 
     n_iters: int = 10
+    scan_unroll: int = 1
     backbone_depth: int = 50
     fuse_fnet: bool = True
     fuse_cnet: bool = True
@@ -277,6 +278,7 @@ class CamLiRAFTCore(nn.Module):
             in_axes=nn.broadcast,
             out_axes=0,
             length=self.n_iters,
+            unroll=self.scan_unroll,
         )
         carry0 = (h_2d, h_3d, jnp.zeros_like(grid), jnp.zeros_like(xyz1, jnp.float32))
         _, (flow_2d_seq, flow_3d_seq) = scan(
@@ -335,6 +337,7 @@ class CamLiRAFT(nn.Module):
         with compute_precision(self.cfgs.get("compute_dtype")):
             flow_2d_seq, flow_3d_seq = CamLiRAFTCore(
                 n_iters=n_iters,
+                scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
                 backbone_depth=self.cfgs["backbone"]["depth"],
                 fuse_fnet=bool(self.cfgs["fuse_fnet"]),
                 fuse_cnet=bool(self.cfgs["fuse_cnet"]),

@@ -263,6 +263,7 @@ class CamLiRAFTLCore(nn.Module):
     """Point-space RAFT core (camliraft_l_core.py:158-225)."""
 
     n_iters: int = 10
+    scan_unroll: int = 1
     n_samples_list: tuple[int, ...] = (4096, 2048, 1024, 512, 256)
 
     @nn.compact
@@ -299,6 +300,7 @@ class CamLiRAFTLCore(nn.Module):
             in_axes=nn.broadcast,
             out_axes=0,
             length=self.n_iters,
+            unroll=self.scan_unroll,
         )
         flow0 = jnp.zeros_like(xyz1, dtype=jnp.float32)
         _, flow_seq = scan(name="update")((h, flow0), consts, train)
@@ -365,7 +367,10 @@ class CamLiRAFTL(nn.Module):
             self.cfgs.get("n_samples_list", (4096, 2048, 1024, 512, 256))
         )
         flow_seq = CamLiRAFTLCore(
-            n_iters=n_iters, n_samples_list=n_samples, name="core"
+            n_iters=n_iters,
+            scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
+            n_samples_list=n_samples,
+            name="core",
         )(pc1, pc2, train=train)
 
         if has_da:

@@ -125,6 +125,7 @@ class RAFTCore(nn.Module):
     """Standalone 2D RAFT loop (raft_core.py:200-270)."""
 
     n_iters: int = 12
+    scan_unroll: int = 1
     backbone_depth: int = 50
     corr_levels: int = 4
     corr_radius: int = 4
@@ -166,6 +167,7 @@ class RAFTCore(nn.Module):
             in_axes=nn.broadcast,
             out_axes=0,
             length=self.n_iters,
+            unroll=self.scan_unroll,
         )
         _, flow_ups = scan(corr_radius=self.corr_radius, name="update")(
             (h, flow0), consts
@@ -195,9 +197,12 @@ class RAFT(nn.Module):
             depth = self.cfgs["pretrain"]["depth"]
         else:
             depth = 50
-        flow_seq = RAFTCore(n_iters=n_iters, backbone_depth=depth, name="core")(
-            image1, image2, train=train
-        )
+        flow_seq = RAFTCore(
+            n_iters=n_iters,
+            scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
+            backbone_depth=depth,
+            name="core",
+        )(image1, image2, train=train)
 
         flow_seq = jax.vmap(padder.unpad)(flow_seq)
         return {"flow_2d": flow_seq[-1], "flow_2d_seq": flow_seq}
