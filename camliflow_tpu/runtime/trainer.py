@@ -219,8 +219,11 @@ class Trainer:
     def validate(self, epoch: int) -> dict:
         logger.info("validating epoch %d", epoch + 1)
         agg: dict = {}
+        first_batch = None
         for batch in self.val_loader:
             batch = self._host_batch(batch)
+            if first_batch is None:
+                first_batch = batch
             metrics = self.eval_step(
                 self.state.params, self.state.batch_stats, batch
             )
@@ -228,7 +231,34 @@ class Trainer:
         summary = finalize_metrics(agg)
         logger.info("val epoch %d: %s", epoch + 1, _fmt(summary))
         self._dump_scalars("val", epoch, summary)
+        if self.is_main and self.cfgs.log.get("save_image_summary", False):
+            self._save_image_summary(epoch, first_batch)
         return summary
+
+    def _save_image_summary(self, epoch: int, batch: dict):
+        """Flow visualisation of the first val sample (the reference writes
+        flow images to TensorBoard, train.py:219-226; we write PNGs)."""
+        if batch is None or "images" not in batch:
+            return
+        try:
+            import cv2
+
+            from ..utils.visualization import viz_optical_flow
+            from .train_state import make_infer_step
+
+            infer = make_infer_step(self.model_eval)
+            outputs = infer(self.state.params, self.state.batch_stats, batch)
+            if "flow_2d" not in outputs:
+                return
+            flow = np.asarray(outputs["flow_2d"][0])
+            viz = viz_optical_flow(flow)
+            out_dir = self.log_dir / "images"
+            out_dir.mkdir(exist_ok=True)
+            cv2.imwrite(
+                str(out_dir / f"flow2d_epoch{epoch:03d}.png"), viz[..., ::-1]
+            )
+        except Exception as exc:  # summaries must never kill training
+            logger.warning("image summary failed: %s", exc)
 
     def _dump_scalars(self, tag: str, epoch: int, summary: dict):
         if not self.is_main:
