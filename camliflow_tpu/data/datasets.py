@@ -338,6 +338,8 @@ class Sintel:
                 image_dir = os.path.join(cfgs.root_dir, "flow", "training", pass_name, scene)
                 depth_dir = os.path.join(cfgs.root_dir, "depth", "training", "depth", scene)
                 flow_dir = os.path.join(cfgs.root_dir, "flow", "training", "flow", scene)
+                if not os.path.isdir(image_dir):
+                    continue  # tolerate partial downloads (reference asserts)
                 image_paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
                 depth_paths = sorted(glob.glob(os.path.join(depth_dir, "*.dpt")))
                 flow_paths = sorted(glob.glob(os.path.join(flow_dir, "*.flo")))
