@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from ..nn.clfm import CLFM
 from ..nn.layers import dense
 from ..nn.resnet import ResNetEncoder2D
-from ..ops.correlation import all_pairs_correlation_pyramid, corr_lookup_2d
+from ..ops.correlation import (
+    all_pairs_correlation_pyramid,
+    corr_lookup_2d_padded,
+    pad_pyramid_for_lookup,
+)
 from ..ops.geometry import (
     backwarp_3d,
     build_pc_pyramid,
@@ -62,78 +66,129 @@ _IMAGENET_STD = (58.395, 57.120, 57.375)
 
 
 class FusedUpdateBlock(nn.Module):
-    """One fused RAFT iteration over both modalities; scanned over n_iters."""
+    """One fused RAFT iteration over both modalities; scanned over n_iters.
+
+    Setup-style: the core scans one shared instance (functional `nn.scan`),
+    hoists the loop-invariant PointConvDW weights via `precompute`, and — at
+    eval — upsamples only the final flow via `upsample` after the scan
+    (the reference consumes flow_preds[-1] only, camliraft.py:68-73).
+    Param paths match the previous compact layout.
+    """
 
     fuse_corr: bool = True
     fuse_motion: bool = True
     fuse_hidden: bool = False
     corr_radius: int = 4
+    upsample_each: bool = True
+    # route Correlation3D through the fused Pallas kernel (forward-only)
+    fast_inference: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.correlation_3d = Correlation3D(out_channels=128, k=16)
+        if self.fuse_corr:
+            self.clfm_corr = CLFM(324, 128)
+        self.motion_encoder_2d = MotionEncoder2D()
+        self.motion_encoder_3d = MotionEncoder3D()
+        if self.fuse_motion:
+            self.clfm_motion = CLFM(128, 128)
+        self.gru_2d = GRU2D()
+        self.gru_3d = GRU3D()
+        if self.fuse_hidden:
+            self.clfm_hidden = CLFM(128, 128)
+        self.flow_head_2d = FlowHead2D()
+        self.flow_head_3d = FlowHead3D()
+        self.convex_upsampler = ConvexUpsampler2D()
+
+    def precompute(self, xyz1, knn_indices, train: bool = False):
+        """Loop-invariant PointConvDW weights for the 3D submodules."""
+        return {
+            "motion_encoder": self.motion_encoder_3d.precompute_weights(
+                xyz1, knn_indices, train=train
+            ),
+            "gru": self.gru_3d.precompute_weights(xyz1, knn_indices, train=train),
+            "flow_head": self.flow_head_3d.precompute_weights(
+                xyz1, knn_indices, train=train
+            ),
+        }
+
+    def upsample(self, h_2d, flow_2d, flow_3d, consts):
+        flow_2d_up = self.convex_upsampler(h_2d, flow_2d)
+        flow_3d_up = jnp.sum(
+            gather_points(flow_3d, consts["up_idx"]) * consts["up_weights"][..., None],
+            axis=2,
+        )
+        return flow_2d_up, flow_3d_up
+
     def __call__(self, carry, consts):
         h_2d, h_3d, flow_2d, flow_3d = carry
         xyz1 = consts["xyz1"]
         uv1 = consts["uv1"]
         knn_indices = consts["knn_indices"]
+        dw = consts.get("dw") or {}
 
         flow_2d = jax.lax.stop_gradient(flow_2d)
         flow_3d = jax.lax.stop_gradient(flow_3d)
         # one backwarp at the finest level serves all prefix-nested levels
         xyzs2 = consts["xyzs2"]
-        xyz2_warp_full = backwarp_3d(xyz1, xyzs2[0], flow_3d)
+        xyz2_warp_full = backwarp_3d(
+            xyz1, xyzs2[0], flow_3d, fast=self.fast_inference
+        )
         level_sizes = tuple(x.shape[1] for x in xyzs2)
 
         # correlation lookups
-        corr_2d = corr_lookup_2d(
+        corr_2d = corr_lookup_2d_padded(
             consts["pyramid_2d"], consts["grid"] + flow_2d, radius=self.corr_radius
         )
-        corr_3d = Correlation3D(out_channels=128, k=16, name="correlation_3d")(
-            xyz1, xyz2_warp_full, level_sizes, consts["pyramid_3d"]
+        corr_3d = self.correlation_3d(
+            xyz1, xyz2_warp_full, level_sizes, consts["pyramid_3d"],
+            fast=self.fast_inference,
         )
         interp_cache = consts["interp_cache_uv1"]
         if self.fuse_corr:
-            corr_2d, corr_3d = CLFM(324, 128, name="clfm_corr")(
+            corr_2d, corr_3d = self.clfm_corr(
                 uv1, corr_2d, corr_3d, interp_cache=interp_cache
             )
 
         # motion features
-        motion_2d = MotionEncoder2D(name="motion_encoder_2d")(flow_2d, corr_2d)
-        motion_3d = MotionEncoder3D(name="motion_encoder_3d")(
-            xyz1, flow_3d, corr_3d, knn_indices
+        motion_2d = self.motion_encoder_2d(flow_2d, corr_2d)
+        motion_3d = self.motion_encoder_3d(
+            xyz1, flow_3d, corr_3d, knn_indices, dw=dw.get("motion_encoder")
         )
         if self.fuse_motion:
-            motion_2d, motion_3d = CLFM(128, 128, name="clfm_motion")(
+            motion_2d, motion_3d = self.clfm_motion(
                 uv1, motion_2d, motion_3d, interp_cache=interp_cache
             )
 
         # GRUs
-        h_2d = GRU2D(name="gru_2d")(
+        h_2d = self.gru_2d(
             h_2d, jnp.concatenate([consts["x_2d"], motion_2d], axis=-1)
         )
-        h_3d = GRU3D(name="gru_3d")(
+        h_3d = self.gru_3d(
             xyz1,
             h_3d,
             jnp.concatenate([consts["x_3d"], motion_3d], axis=-1),
             knn_indices,
+            dw=dw.get("gru"),
         )
         if self.fuse_hidden:
-            h_2d, h_3d = CLFM(128, 128, name="clfm_hidden")(
+            h_2d, h_3d = self.clfm_hidden(
                 uv1, h_2d, h_3d, interp_cache=interp_cache
             )
 
         # flow heads + residual update
-        delta_2d = FlowHead2D(name="flow_head_2d")(h_2d)
+        delta_2d = self.flow_head_2d(h_2d)
         flow_2d = flow_2d + delta_2d
-        flow_2d_up = ConvexUpsampler2D(name="convex_upsampler")(h_2d, flow_2d)
 
-        delta_3d = FlowHead3D(name="flow_head_3d")(xyz1, h_3d, knn_indices)
-        flow_3d = flow_3d + delta_3d.astype(jnp.float32)
-        flow_3d_up = jnp.sum(
-            gather_points(flow_3d, consts["up_idx"]) * consts["up_weights"][..., None],
-            axis=2,
+        delta_3d = self.flow_head_3d(
+            xyz1, h_3d, knn_indices, dw=dw.get("flow_head")
         )
+        flow_3d = flow_3d + delta_3d.astype(jnp.float32)
 
-        return (h_2d, h_3d, flow_2d, flow_3d), (flow_2d_up, flow_3d_up)
+        if self.upsample_each:
+            out = self.upsample(h_2d, flow_2d, flow_3d, consts)
+        else:
+            out = (flow_2d, flow_3d)
+        return (h_2d, h_3d, flow_2d, flow_3d), out
 
 
 class CamLiRAFTCore(nn.Module):
@@ -148,6 +203,9 @@ class CamLiRAFTCore(nn.Module):
     fuse_motion: bool = True
     fuse_hidden: bool = False
     n_samples_list: tuple[int, ...] = (4096, 2048, 1024, 512, 256)
+    # eval-time: upsample only the final iteration's flows (kept separate from
+    # `train`, which freeze_bn masks)
+    final_only: bool = False
 
     @nn.compact
     def __call__(self, image1, image2, pc1, pc2, camera_info, train: bool = False):
@@ -238,6 +296,8 @@ class CamLiRAFTCore(nn.Module):
             aligner(feat2_2d.astype(jnp.float32)),
             num_levels=4,
         )
+        # pad once for the in-loop lookups (loop-invariant)
+        pyramid_2d = pad_pyramid_for_lookup(pyramid_2d)
         pyramid_3d = build_cost_volume_pyramid_3d(feat1_3d, feat2_3d, xyzs2)
 
         knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
@@ -257,6 +317,16 @@ class CamLiRAFTCore(nn.Module):
         batch, image_h, image_w, _ = image1.shape
         grid = mesh_grid(batch, image_h // 8, image_w // 8)
 
+        from ..ops.geometry import _on_tpu
+
+        update = FusedUpdateBlock(
+            fuse_corr=self.fuse_corr,
+            fuse_motion=self.fuse_motion,
+            fuse_hidden=self.fuse_hidden,
+            upsample_each=not self.final_only,
+            fast_inference=self.final_only and _on_tpu(),
+            name="update",
+        )
         consts = {
             "xyz1": xyz1,
             "xyzs2": xyzs2,
@@ -271,8 +341,10 @@ class CamLiRAFTCore(nn.Module):
             "up_weights": up_weights,
             "interp_cache_uv1": cache_uv1,
         }
+        # hoist loop-invariant PointConvDW geometric weights out of the scan
+        consts["dw"] = update.precompute(xyz1, knn_indices, train=train)
         scan = nn.scan(
-            FusedUpdateBlock,
+            lambda mdl, carry, c: mdl(carry, c),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=nn.broadcast,
@@ -281,12 +353,13 @@ class CamLiRAFTCore(nn.Module):
             unroll=self.scan_unroll,
         )
         carry0 = (h_2d, h_3d, jnp.zeros_like(grid), jnp.zeros_like(xyz1, jnp.float32))
-        _, (flow_2d_seq, flow_3d_seq) = scan(
-            fuse_corr=self.fuse_corr,
-            fuse_motion=self.fuse_motion,
-            fuse_hidden=self.fuse_hidden,
-            name="update",
-        )(carry0, consts)
+        carry, (flow_2d_seq, flow_3d_seq) = scan(update, carry0, consts)
+        if self.final_only:
+            h_2d_f, _, flow_2d_f, flow_3d_f = carry
+            flow_2d_up, flow_3d_up = update.upsample(
+                h_2d_f, flow_2d_f, flow_3d_f, consts
+            )
+            return flow_2d_up[None], flow_3d_up[None]  # [1, B, ...]
         return flow_2d_seq, flow_3d_seq
 
 
@@ -345,6 +418,7 @@ class CamLiRAFT(nn.Module):
                 fuse_motion=bool(self.cfgs["fuse_motion"]),
                 fuse_hidden=bool(self.cfgs["fuse_hidden"]),
                 n_samples_list=n_samples,
+                final_only=not self.train_mode,
                 name="core",
             )(image1, image2, pc1, pc2, paral_cam, train=train)
 

@@ -106,23 +106,48 @@ class Correlation3D(nn.Module):
         level_sizes: tuple[int, ...],
         pyramid: list[jax.Array],
         train: bool = False,
+        fast: bool = False,
     ) -> jax.Array:
-        from ..ops.geometry import knn_from_dists, squared_distance
+        """`fast=True` routes the selection through the fused Pallas kernel
+        (inference only — the kernel has no VJP); both paths produce the same
+        [B, N, L*k, 4] (rel_xyz || cost) tensor for the shared MLP tail."""
+        n_levels = len(level_sizes)
+        if fast:
+            from ..ops.pallas_corr3d import correlation3d_select_pallas
+
+            payload = correlation3d_select_pallas(
+                xyz1,
+                xyz2_warp_full,
+                jnp.concatenate(pyramid, axis=-1),
+                tuple(level_sizes),
+                k=self.k,
+            )  # [B, N, L*k, 4]
+        else:
+            payload = self._select_xla(xyz1, xyz2_warp_full, level_sizes, pyramid)
 
         cost_mlp = MLP(
             [self.out_channels // 4, self.out_channels // 4],
             act="relu",
             name="cost_mlp",
         )
-        n_levels = len(level_sizes)
+        cost = cost_mlp(payload, train=train)  # [B, N, L*k, out/4]
+        batch, n_points = xyz1.shape[:2]
+        cost = cost.reshape(batch, n_points, n_levels, self.k, -1)
+        costs = jnp.sum(cost, axis=3)  # [B, N, L, out/4]
+        merged = costs.reshape(batch, n_points, -1)
+        return DenseNormAct(self.out_channels, name="merge")(merged, train=train)
+
+    def _select_xla(self, xyz1, xyz2_warp_full, level_sizes, pyramid):
+        """Differentiable XLA selection path (training / non-TPU)."""
+        from ..ops.geometry import knn_from_dists, squared_distance
+
         dists = squared_distance(xyz1, xyz2_warp_full)  # [B, N, M0]
 
-        # select per level, then batch every gather / MLP across levels:
+        # select per level, then batch every gather across levels:
         # neighbours all index the same warped cloud, and the per-level cost
-        # volumes concatenate along columns with index offsets, so 8 gathers +
-        # 4 MLP applications collapse into 2 gathers + 1 MLP (shared weights,
-        # matching the reference's level-shared cost_mlp,
-        # camliraft_l_core.py:45,92-95)
+        # volumes concatenate along columns with index offsets, so 8 gathers
+        # collapse into 2 (the MLP is level-shared, matching the reference's
+        # cost_mlp, camliraft_l_core.py:45,92-95)
         idx_levels = [
             knn_from_dists(dists[:, :, :m_l], k=self.k) for m_l in level_sizes
         ]
@@ -139,41 +164,57 @@ class Correlation3D(nn.Module):
             [idx + off for idx, off in zip(idx_levels, offsets)], axis=-1
         )
         knn_corr = jnp.take_along_axis(cv_cat, idx_off, axis=2)[..., None]
-
-        cost = cost_mlp(
-            jnp.concatenate([knn_xyz2_norm.astype(jnp.float32), knn_corr], axis=-1),
-            train=train,
-        )  # [B, N, L*k, out/4]
-        batch, n_points = xyz1.shape[:2]
-        cost = cost.reshape(batch, n_points, n_levels, self.k, -1)
-        costs = jnp.sum(cost, axis=3)  # [B, N, L, out/4]
-        merged = costs.reshape(batch, n_points, -1)
-        return DenseNormAct(self.out_channels, name="merge")(merged, train=train)
+        return jnp.concatenate(
+            [knn_xyz2_norm.astype(jnp.float32), knn_corr], axis=-1
+        )
 
 
 class MotionEncoder3D(nn.Module):
-    """corr + flow -> motion features (camliraft_l_core.py:137-155)."""
+    """corr + flow -> motion features (camliraft_l_core.py:137-155).
+
+    Setup-style: the PointConvDW geometric weights depend only on the (fixed)
+    point geometry, so `precompute_weights` hoists them out of the refinement
+    scan and `__call__` reuses them via `dw`.
+    """
 
     corr_dim: int = 128
 
-    @nn.compact
-    def __call__(self, xyz, flow, corr, knn_indices, train: bool = False):
+    def setup(self):
+        self.conv_c1 = PointConvDW(self.corr_dim, k=16)
+        self.conv_f1 = PointConvDW(32, k=32)
+        self.conv_f2 = PointConvDW(16, k=16)
+        self.conv = PointConvDW(128 - 3, k=16)
+
+    def precompute_weights(self, xyz, knn_indices, train: bool = False):
+        return {
+            name: getattr(self, name).compute_weights(
+                xyz, knn_indices=knn_indices, train=train
+            )
+            for name in ("conv_c1", "conv_f1", "conv_f2", "conv")
+        }
+
+    def __call__(self, xyz, flow, corr, knn_indices, train: bool = False, dw=None):
+        dw = dw or {}
         corr = corr.astype(jnp.float32)
         flow = flow.astype(jnp.float32)
-        corr_feat = PointConvDW(self.corr_dim, k=16, name="conv_c1")(
-            xyz, corr, knn_indices=knn_indices, train=train
+        corr_feat = self.conv_c1(
+            xyz, corr, knn_indices=knn_indices, train=train,
+            weights=dw.get("conv_c1"),
         )
-        flow_feat = PointConvDW(32, k=32, name="conv_f1")(
-            xyz, flow, knn_indices=knn_indices, train=train
+        flow_feat = self.conv_f1(
+            xyz, flow, knn_indices=knn_indices, train=train,
+            weights=dw.get("conv_f1"),
         )
-        flow_feat = PointConvDW(16, k=16, name="conv_f2")(
-            xyz, flow_feat, knn_indices=knn_indices, train=train
+        flow_feat = self.conv_f2(
+            xyz, flow_feat, knn_indices=knn_indices, train=train,
+            weights=dw.get("conv_f2"),
         )
-        out = PointConvDW(128 - 3, k=16, name="conv")(
+        out = self.conv(
             xyz,
             jnp.concatenate([corr_feat, flow_feat], axis=-1),
             knn_indices=knn_indices,
             train=train,
+            weights=dw.get("conv"),
         )
         return jnp.concatenate([out, flow], axis=-1)
 
@@ -183,27 +224,43 @@ class GRU3D(nn.Module):
 
     hidden_dim: int = 128
 
-    @nn.compact
-    def __call__(self, xyz, h, x, knn_indices, train: bool = False):
+    def setup(self):
+        self.conv_z = PointConvDW(self.hidden_dim, act=None, k=4)
+        self.conv_r = PointConvDW(self.hidden_dim, act=None, k=4)
+        self.conv_q = PointConvDW(self.hidden_dim, act=None, k=4)
+
+    def precompute_weights(self, xyz, knn_indices, train: bool = False):
+        return {
+            name: getattr(self, name).compute_weights(
+                xyz, knn_indices=knn_indices, train=train
+            )
+            for name in ("conv_z", "conv_r", "conv_q")
+        }
+
+    def __call__(self, xyz, h, x, knn_indices, train: bool = False, dw=None):
+        dw = dw or {}
         h = h.astype(jnp.float32)
         x = x.astype(jnp.float32)
         hx = jnp.concatenate([h, x], axis=-1)
         z = nn.sigmoid(
-            PointConvDW(self.hidden_dim, act=None, k=4, name="conv_z")(
-                xyz, hx, knn_indices=knn_indices, train=train
+            self.conv_z(
+                xyz, hx, knn_indices=knn_indices, train=train,
+                weights=dw.get("conv_z"),
             )
         )
         r = nn.sigmoid(
-            PointConvDW(self.hidden_dim, act=None, k=4, name="conv_r")(
-                xyz, hx, knn_indices=knn_indices, train=train
+            self.conv_r(
+                xyz, hx, knn_indices=knn_indices, train=train,
+                weights=dw.get("conv_r"),
             )
         )
         q = nn.tanh(
-            PointConvDW(self.hidden_dim, act=None, k=4, name="conv_q")(
+            self.conv_q(
                 xyz,
                 jnp.concatenate([r * h, x], axis=-1),
                 knn_indices=knn_indices,
                 train=train,
+                weights=dw.get("conv_q"),
             )
         )
         return (1.0 - z) * h + z * q
@@ -212,48 +269,97 @@ class GRU3D(nn.Module):
 class FlowHead3D(nn.Module):
     """Hidden state -> delta flow (camliraft_l_core.py:104-116)."""
 
-    @nn.compact
-    def __call__(self, xyz, features, knn_indices, train: bool = False):
+    def setup(self):
+        self.conv1 = PointConvDW(128, k=32)
+        self.conv2 = PointConvDW(64, k=32)
+        self.fc = dense(3)
+
+    def precompute_weights(self, xyz, knn_indices, train: bool = False):
+        return {
+            name: getattr(self, name).compute_weights(
+                xyz, knn_indices=knn_indices, train=train
+            )
+            for name in ("conv1", "conv2")
+        }
+
+    def __call__(self, xyz, features, knn_indices, train: bool = False, dw=None):
+        dw = dw or {}
         features = features.astype(jnp.float32)
-        features = PointConvDW(128, k=32, name="conv1")(
-            xyz, features, knn_indices=knn_indices, train=train
+        features = self.conv1(
+            xyz, features, knn_indices=knn_indices, train=train,
+            weights=dw.get("conv1"),
         )
-        features = PointConvDW(64, k=32, name="conv2")(
-            xyz, features, knn_indices=knn_indices, train=train
+        features = self.conv2(
+            xyz, features, knn_indices=knn_indices, train=train,
+            weights=dw.get("conv2"),
         )
-        return dense(3, name="fc")(features)
+        return self.fc(features)
 
 
 class UpdateBlock3D(nn.Module):
-    """One GRU refinement iteration; scanned over n_iters."""
+    """One GRU refinement iteration; scanned over n_iters.
 
-    @nn.compact
+    Setup-style so the core can (a) scan a single shared instance with the
+    functional `nn.scan` form and (b) call `precompute` once outside the scan
+    to hoist the loop-invariant PointConvDW geometric weights (their inputs —
+    xyz1 and knn_indices — never change across iterations).
+
+    `fast_inference` routes Correlation3D through the fused Pallas kernel
+    (forward-only; set it for eval on TPU).
+    """
+
+    fast_inference: bool = False
+
+    def setup(self):
+        self.correlation = Correlation3D(out_channels=128, k=16)
+        self.motion_encoder = MotionEncoder3D(corr_dim=128)
+        self.gru = GRU3D(hidden_dim=128)
+        self.flow_head = FlowHead3D()
+
+    def precompute(self, xyz1, knn_indices, train: bool = False):
+        """Loop-invariant PointConvDW weights for all submodules."""
+        return {
+            "motion_encoder": self.motion_encoder.precompute_weights(
+                xyz1, knn_indices, train=train
+            ),
+            "gru": self.gru.precompute_weights(xyz1, knn_indices, train=train),
+            "flow_head": self.flow_head.precompute_weights(
+                xyz1, knn_indices, train=train
+            ),
+        }
+
     def __call__(self, carry, consts, train: bool = False):
         h, flow = carry
         xyz1 = consts["xyz1"]
+        dw = consts.get("dw") or {}
         flow = jax.lax.stop_gradient(flow)
         # One backwarp serves all pyramid levels: the levels are prefix-nested
         # (FPS order) and backwarp_3d is pointwise in its queries, so warping
         # the finest level and row-slicing is bit-identical to the reference's
         # per-level warps (camliraft_l_core.py:202).
         xyzs2 = consts["xyzs2"]
-        xyz2_warp_full = backwarp_3d(xyz1, xyzs2[0], flow)
+        xyz2_warp_full = backwarp_3d(
+            xyz1, xyzs2[0], flow, fast=self.fast_inference
+        )
         level_sizes = tuple(x.shape[1] for x in xyzs2)
-        corr = Correlation3D(out_channels=128, k=16, name="correlation")(
-            xyz1, xyz2_warp_full, level_sizes, consts["pyramid"], train=train
+        corr = self.correlation(
+            xyz1, xyz2_warp_full, level_sizes, consts["pyramid"], train=train,
+            fast=self.fast_inference,
         )
-        motion = MotionEncoder3D(corr_dim=128, name="motion_encoder")(
-            xyz1, flow, corr, consts["knn_indices"], train=train
+        motion = self.motion_encoder(
+            xyz1, flow, corr, consts["knn_indices"], train=train,
+            dw=dw.get("motion_encoder"),
         )
-        h = GRU3D(hidden_dim=128, name="gru")(
+        h = self.gru(
             xyz1,
             h,
             jnp.concatenate([consts["x"], motion], axis=-1),
             consts["knn_indices"],
             train=train,
+            dw=dw.get("gru"),
         )
-        delta = FlowHead3D(name="flow_head")(
-            xyz1, h, consts["knn_indices"], train=train
+        delta = self.flow_head(
+            xyz1, h, consts["knn_indices"], train=train, dw=dw.get("flow_head")
         )
         flow = flow + delta.astype(jnp.float32)
         return (h, flow), flow
@@ -265,6 +371,10 @@ class CamLiRAFTLCore(nn.Module):
     n_iters: int = 10
     scan_unroll: int = 1
     n_samples_list: tuple[int, ...] = (4096, 2048, 1024, 512, 256)
+    # eval-time: only the final iteration's flow is consumed downstream, so
+    # upsampling of the T-1 intermediate flows is skipped. Kept separate from
+    # `train` because freeze_bn masks that flag for norm layers.
+    final_only: bool = False
 
     @nn.compact
     def __call__(self, pc1: jax.Array, pc2: jax.Array, train: bool = False):
@@ -286,6 +396,11 @@ class CamLiRAFTLCore(nn.Module):
         x = nn.relu(x.astype(jnp.float32))
         knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
 
+        from ..ops.geometry import _on_tpu
+
+        update = UpdateBlock3D(
+            fast_inference=self.final_only and _on_tpu(), name="update"
+        )
         consts = {
             "xyz1": xyz1,
             "xyzs2": xyzs2,
@@ -293,8 +408,11 @@ class CamLiRAFTLCore(nn.Module):
             "knn_indices": knn_indices,
             "x": x,
         }
+        # hoist the loop-invariant PointConvDW geometric weights out of the
+        # scan: their inputs (xyz1, knn_indices) are constant across iterations
+        consts["dw"] = update.precompute(xyz1, knn_indices, train=train)
         scan = nn.scan(
-            UpdateBlock3D,
+            lambda mdl, carry, c: mdl(carry, c, train),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=nn.broadcast,
@@ -303,11 +421,13 @@ class CamLiRAFTLCore(nn.Module):
             unroll=self.scan_unroll,
         )
         flow0 = jnp.zeros_like(xyz1, dtype=jnp.float32)
-        _, flow_seq = scan(name="update")((h, flow0), consts, train)
+        _, flow_seq = scan(update, (h, flow0), consts)
 
-        # Upsample every iteration to the full cloud with one shared
-        # KNN/weight computation (improvement over camliraft_l_core.py:222-223,
-        # which re-runs KNN per iteration).
+        # Upsample to the full cloud with one shared KNN/weight computation
+        # (improvement over camliraft_l_core.py:222-223, which re-runs KNN per
+        # iteration). At eval only the final flow is needed downstream
+        # (reference camliraft_l.py:60-64 returns flow_preds[-1]), so skip the
+        # T-1 redundant upsamples and return a length-1 sequence.
         knn_idx = k_nearest_neighbor(xyz1, pc1, k=3)
         knn_xyz = gather_points(xyz1, knn_idx)
         dists = jnp.maximum(
@@ -322,7 +442,9 @@ class CamLiRAFTLCore(nn.Module):
         def upsample(flow):
             return jnp.sum(gather_points(flow, knn_idx) * weights[..., None], axis=2)
 
-        return jax.vmap(upsample)(flow_seq)  # [T, B, N, 3]
+        if self.final_only:
+            flow_seq = flow_seq[-1:]
+        return jax.vmap(upsample)(flow_seq)  # [T, B, N, 3] (T=1 at eval)
 
 
 class CamLiRAFTL(nn.Module):
@@ -370,6 +492,7 @@ class CamLiRAFTL(nn.Module):
             n_iters=n_iters,
             scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
             n_samples_list=n_samples,
+            final_only=not self.train_mode,
             name="core",
         )(pc1, pc2, train=train)
 

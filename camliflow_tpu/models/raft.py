@@ -20,7 +20,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.correlation import all_pairs_correlation_pyramid, corr_lookup_2d
+from ..ops.correlation import (
+    all_pairs_correlation_pyramid,
+    corr_lookup_2d_padded,
+    pad_pyramid_for_lookup,
+)
 from ..ops.image import InputPadder, convex_upsample, mesh_grid
 from ..nn.layers import compute_dtype, dense, torch_kernel_init
 from ..nn.resnet import ResNetEncoder2D
@@ -102,22 +106,38 @@ class ConvexUpsampler2D(nn.Module):
 
 
 class UpdateBlock2D(nn.Module):
-    """One RAFT iteration; scanned over n_iters."""
+    """One RAFT iteration; scanned over n_iters.
+
+    Setup-style so the core can scan one shared instance and, at eval, call
+    `upsample` once after the scan instead of convex-upsampling every
+    iteration (the reference consumes only flow_preds[-1] at eval,
+    raft.py:34-40). `upsample_each=False` removes the per-iteration upsample
+    from the scanned body; param paths are unchanged either way.
+    """
 
     corr_radius: int = 4
+    upsample_each: bool = True
 
-    @nn.compact
+    def setup(self):
+        self.motion_encoder = MotionEncoder2D()
+        self.gru = GRU2D()
+        self.flow_head = FlowHead2D()
+        self.convex_upsampler = ConvexUpsampler2D()
+
+    def upsample(self, h, flow):
+        return self.convex_upsampler(h, flow)
+
     def __call__(self, carry, consts):
         h, flow = carry
         flow = jax.lax.stop_gradient(flow)
-        corr = corr_lookup_2d(
+        corr = corr_lookup_2d_padded(
             consts["pyramid"], consts["grid"] + flow, radius=self.corr_radius
         )
-        motion = MotionEncoder2D(name="motion_encoder")(flow, corr)
-        h = GRU2D(name="gru")(h, jnp.concatenate([consts["x"], motion], axis=-1))
-        delta = FlowHead2D(name="flow_head")(h)
+        motion = self.motion_encoder(flow, corr)
+        h = self.gru(h, jnp.concatenate([consts["x"], motion], axis=-1))
+        delta = self.flow_head(h)
         flow = flow + delta
-        out = ConvexUpsampler2D(name="convex_upsampler")(h, flow)
+        out = self.upsample(h, flow) if self.upsample_each else flow
         return (h, flow), out
 
 
@@ -129,6 +149,9 @@ class RAFTCore(nn.Module):
     backbone_depth: int = 50
     corr_levels: int = 4
     corr_radius: int = 4
+    # eval-time: skip the per-iteration convex upsample and run it once on the
+    # final flow (kept separate from `train`, which freeze_bn masks)
+    final_only: bool = False
 
     @nn.compact
     def __call__(self, image1, image2, train: bool = False):
@@ -147,6 +170,9 @@ class RAFTCore(nn.Module):
             self.corr_levels,
         )
 
+        # pad once for the in-loop lookups (loop-invariant)
+        pyramid = pad_pyramid_for_lookup(pyramid, self.corr_radius)
+
         cnet = ResNetEncoder2D(depth=self.backbone_depth, name="cnet")(
             image1, train=train
         )
@@ -160,8 +186,13 @@ class RAFTCore(nn.Module):
         flow0 = jnp.zeros_like(grid)
 
         consts = {"pyramid": pyramid, "grid": grid, "x": x}
+        update = UpdateBlock2D(
+            corr_radius=self.corr_radius,
+            upsample_each=not self.final_only,
+            name="update",
+        )
         scan = nn.scan(
-            UpdateBlock2D,
+            lambda mdl, carry, c: mdl(carry, c),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=nn.broadcast,
@@ -169,9 +200,11 @@ class RAFTCore(nn.Module):
             length=self.n_iters,
             unroll=self.scan_unroll,
         )
-        _, flow_ups = scan(corr_radius=self.corr_radius, name="update")(
-            (h, flow0), consts
-        )
+        (h_final, flow_final), flow_ups = scan(update, (h, flow0), consts)
+        if self.final_only:
+            # one convex upsample on the final flow; same params as the
+            # in-scan path ('update/convex_upsampler')
+            return update.upsample(h_final, flow_final)[None]  # [1, B, H, W, 2]
         return flow_ups  # [T, B, H, W, 2]
 
 
@@ -201,6 +234,7 @@ class RAFT(nn.Module):
             n_iters=n_iters,
             scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
             backbone_depth=depth,
+            final_only=not self.train_mode,
             name="core",
         )(image1, image2, train=train)
 

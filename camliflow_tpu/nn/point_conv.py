@@ -117,14 +117,42 @@ class PointNet2(nn.Module):
 
 
 class PointConvDW(nn.Module):
-    """Depthwise point conv: feat MLP * weight_net(dxyz), max over k."""
+    """Depthwise point conv: feat MLP * weight_net(dxyz), max over k.
+
+    Setup-style so the geometric weights — which depend only on point
+    positions, not features — can be precomputed once via `compute_weights`
+    and reused across refinement iterations (the RAFT-style loops re-run this
+    conv 10-20x on fixed geometry). Param paths are identical to the previous
+    compact layout (`mlp`, `weight_net`).
+    """
 
     out_channels: int
     norm: str | None = None
     act: str | None = "leaky_relu"
     k: int = 16
 
-    @nn.compact
+    def setup(self):
+        self.mlp = MLP([self.out_channels], norm=self.norm, act=self.act)
+        self.weight_net = MLP([8, 32, self.out_channels], act="relu")
+
+    def compute_weights(
+        self,
+        xyz: jax.Array,
+        sampled_xyz: jax.Array | None = None,
+        knn_indices: jax.Array | None = None,
+        train: bool = False,
+        dtype=None,
+    ) -> jax.Array:
+        """Loop-invariant geometric weights [B, M, k, out_channels]."""
+        if sampled_xyz is None:
+            sampled_xyz = xyz
+        knn_indices = _resolve_knn(xyz, sampled_xyz, knn_indices, self.k)
+        knn_xyz = gather_points(xyz, knn_indices)  # [B, M, k, 3]
+        rel_xyz = knn_xyz - sampled_xyz[:, :, None, :]
+        if dtype is not None:
+            rel_xyz = rel_xyz.astype(dtype)
+        return self.weight_net(rel_xyz, train=train)
+
     def __call__(
         self,
         xyz: jax.Array,
@@ -132,19 +160,16 @@ class PointConvDW(nn.Module):
         sampled_xyz: jax.Array | None = None,
         knn_indices: jax.Array | None = None,
         train: bool = False,
+        weights: jax.Array | None = None,
     ) -> jax.Array:
+        if weights is None:
+            weights = self.compute_weights(
+                xyz, sampled_xyz, knn_indices, train=train, dtype=features.dtype
+            )
         if sampled_xyz is None:
             sampled_xyz = xyz
         knn_indices = _resolve_knn(xyz, sampled_xyz, knn_indices, self.k)
 
-        knn_xyz = gather_points(xyz, knn_indices)  # [B, M, k, 3]
-        rel_xyz = (knn_xyz - sampled_xyz[:, :, None, :]).astype(features.dtype)
-
-        features = MLP([self.out_channels], norm=self.norm, act=self.act, name="mlp")(
-            features, train=train
-        )
+        features = self.mlp(features, train=train)
         knn_feats = gather_points(features, knn_indices)  # [B, M, k, out]
-        weights = MLP([8, 32, self.out_channels], act="relu", name="weight_net")(
-            rel_xyz, train=train
-        )
         return jnp.max(knn_feats * weights, axis=2)  # [B, M, out]

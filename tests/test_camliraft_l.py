@@ -49,7 +49,8 @@ def test_forward_shapes(eval_setup):
     cfgs, inputs, model, variables = eval_setup
     out = model.apply(variables, inputs)
     assert out["flow_3d"].shape == (2, 512, 3)
-    assert out["flow_3d_seq"].shape == (3, 2, 512, 3)
+    # eval mode upsamples only the final iteration (length-1 sequence)
+    assert out["flow_3d_seq"].shape == (1, 2, 512, 3)
     assert np.isfinite(np.asarray(out["flow_3d"])).all()
 
 

@@ -140,7 +140,7 @@ def test_raft(rng):
     inputs = make_inputs(rng)
     out, loss, _ = run_model(raft.RAFT, raft.loss_fn, cfgs, inputs)
     assert out["flow_2d"].shape == (1, 64, 64, 2)
-    assert out["flow_2d_seq"].shape[0] == 2
+    assert out["flow_2d_seq"].shape[0] == 1  # eval: final-only upsample
     assert np.isfinite(loss)
 
 
