@@ -168,12 +168,13 @@ def gather_points(data: jax.Array, indices: jax.Array) -> jax.Array:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "fast"))
 def knn_interpolation(
     input_xyz: jax.Array,
     input_features: jax.Array,
     query_xyz: jax.Array,
     k: int = 3,
+    fast: bool = False,
 ) -> jax.Array:
     """Inverse-distance weighted interpolation from k nearest neighbours.
 
@@ -182,11 +183,16 @@ def knn_interpolation(
       input_features: [B, M, C] source features.
       query_xyz: [B, N, 3] query locations.
       k: number of neighbours.
+      fast: route through the fused Pallas kernel (forward-only — inference).
     Returns:
       [B, N, C] interpolated features.
 
     Reference semantics: models/utils.py:130-146.
     """
+    if fast and _on_tpu():
+        from .pallas_interp import knn_interpolation_pallas
+
+        return knn_interpolation_pallas(input_xyz, input_features, query_xyz, k)
     knn_indices = k_nearest_neighbor(input_xyz, query_xyz, k)  # [B, N, k]
     knn_xyz = gather_points(input_xyz, knn_indices)  # [B, N, k, 3]
     diff = (knn_xyz - query_xyz[:, :, None, :]).astype(jnp.float32)
@@ -199,9 +205,10 @@ def knn_interpolation(
     return jnp.sum(knn_features * weights[..., None].astype(knn_features.dtype), axis=2)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "fast"))
 def backwarp_3d(
-    xyz1: jax.Array, xyz2: jax.Array, flow12: jax.Array, k: int = 3
+    xyz1: jax.Array, xyz2: jax.Array, flow12: jax.Array, k: int = 3,
+    fast: bool = False,
 ) -> jax.Array:
     """Warp `xyz2` towards frame 1 by interpolating the negated forward flow.
 
@@ -209,13 +216,14 @@ def backwarp_3d(
       xyz1: [B, N, 3] points of frame 1.
       xyz2: [B, M, 3] points of frame 2.
       flow12: [B, N, 3] scene flow at frame-1 points.
+      fast: fused Pallas interpolation (forward-only — inference).
     Returns:
       [B, M, 3] warped frame-2 points.
 
     Reference semantics: models/utils.py:149-159.
     """
     xyz1_warp = xyz1 + flow12
-    flow21 = knn_interpolation(xyz1_warp, -flow12, query_xyz=xyz2, k=k)
+    flow21 = knn_interpolation(xyz1_warp, -flow12, query_xyz=xyz2, k=k, fast=fast)
     return xyz2 + flow21
 
 
