@@ -98,14 +98,47 @@ def all_pairs_correlation_pyramid(
     return pyramid
 
 
+def pad_pyramid_for_lookup(
+    pyramid: list[jax.Array], radius: int = 4
+) -> list[jax.Array]:
+    """Zero-pad each pyramid level once for `corr_lookup_2d`.
+
+    The pyramid is constant across RAFT iterations while the lookup runs every
+    iteration; hoisting the (hundreds of MB) pad writes out of the refinement
+    scan saves that HBM traffic per iteration. Returns [rows, h+2p, w+2p]
+    arrays (channel squeezed).
+    """
+    pad = 2 * radius + 4
+    return [
+        jnp.pad(corr[..., 0], ((0, 0), (pad, pad), (pad, pad)))
+        for corr in pyramid
+    ]
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def corr_lookup_2d(
     pyramid: list[jax.Array], coords: jax.Array, radius: int = 4
 ) -> jax.Array:
-    """Bilinear windowed lookup into the all-pairs pyramid.
+    """Bilinear windowed lookup into the all-pairs pyramid (pads inline).
+
+    Prefer `corr_lookup_2d_padded` + a hoisted `pad_pyramid_for_lookup` when
+    looking up repeatedly (RAFT iterations): the pyramid is loop-constant and
+    its pad writes are hundreds of MB per call at full resolution.
+    """
+    return corr_lookup_2d_padded(
+        pad_pyramid_for_lookup(pyramid, radius), coords, radius
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def corr_lookup_2d_padded(
+    padded_pyramid: list[jax.Array], coords: jax.Array, radius: int = 4
+) -> jax.Array:
+    """Bilinear windowed lookup into the pre-padded all-pairs pyramid.
 
     Args:
-      pyramid: output of `all_pairs_correlation_pyramid`.
+      padded_pyramid: output of `pad_pyramid_for_lookup` ([rows, h+2p, w+2p]
+        per level, p = 2*radius + 4).
       coords: [B, H, W, 2] target pixel coordinates in frame 2 (grid + flow).
       radius: window radius r; each level contributes (2r+1)^2 channels.
     Returns:
@@ -131,9 +164,9 @@ def corr_lookup_2d(
 
     coords_flat = coords.reshape(batch * height * width, 2).astype(jnp.float32)
     out_pyramid = []
-    for i, corr in enumerate(pyramid):
-        rows = corr.shape[0]
-        level_h, level_w = corr.shape[1:3]
+    for i, padded in enumerate(padded_pyramid):
+        rows = padded.shape[0]
+        level_h, level_w = padded.shape[1] - 2 * pad, padded.shape[2] - 2 * pad
         c = coords_flat / (2.0**i)
         # clamp far-out coords; everything at/beyond the clamp samples only
         # zero padding, matching grid_sample's zeros mode
@@ -144,9 +177,6 @@ def corr_lookup_2d(
         fx = (cx - x0)[:, None, None]
         fy = (cy - y0)[:, None, None]
 
-        padded = jnp.pad(
-            corr[..., 0], ((0, 0), (pad, pad), (pad, pad))
-        )  # [rows, h+2p, w+2p]
         start_y = (y0 + (pad - r)).astype(jnp.int32)
         start_x = (x0 + (pad - r)).astype(jnp.int32)
 
