@@ -147,6 +147,14 @@ class Trainer:
             (self.log_dir / "ckpts_best").absolute(),
             options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
         )
+        # TensorBoard event files (reference train.py:61, 210-226); scalar +
+        # image summaries also land in metrics.jsonl / PNGs for headless use
+        self.tb = None
+        if self.is_main and cfgs.log.get("tensorboard", True):
+            from ..utils.tensorboard import EventWriter
+
+            self.tb = EventWriter(self.log_dir / "tb")
+
         if cfgs.ckpt.get("resume", False) and self.ckpt_mgr.latest_step() is not None:
             self.load_ckpt()
 
@@ -257,6 +265,9 @@ class Trainer:
             cv2.imwrite(
                 str(out_dir / f"flow2d_epoch{epoch:03d}.png"), viz[..., ::-1]
             )
+            if self.tb is not None:
+                self.tb.add_image("val/flow2d", viz, epoch)
+                self.tb.flush()
         except Exception as exc:  # summaries must never kill training
             logger.warning("image summary failed: %s", exc)
 
@@ -266,12 +277,20 @@ class Trainer:
         path = self.log_dir / "metrics.jsonl"
         with open(path, "a") as f:
             f.write(json.dumps({"tag": tag, "epoch": epoch, **summary}) + "\n")
+        if self.tb is not None:
+            for name, value in summary.items():
+                self.tb.add_scalar(f"{tag}/{name}", float(value), epoch)
+            self.tb.flush()
 
     def _ckpt_payload(self, epoch: int) -> dict:
         payload = {
             "params": jax.tree.map(np.asarray, self.state.params),
             "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
             "last_epoch": np.asarray(epoch, np.int32),
+            # the LR schedule reads optax's internal count inside opt_state;
+            # state.step is saved/restored anyway so telemetry and any future
+            # step-keyed logic survive resume
+            "step": np.asarray(self.state.step, np.int32),
         }
         if self.state.batch_stats is not None:
             payload["batch_stats"] = jax.tree.map(np.asarray, self.state.batch_stats)
@@ -300,7 +319,7 @@ class Trainer:
             if "batch_stats" in payload
             else None,
             opt_state=replicate_tree(payload["opt_state"], self.mesh),
-            step=jnp.zeros((), jnp.int32),
+            step=jnp.asarray(payload.get("step", 0), jnp.int32),
         )
         self.start_epoch = int(payload.get("last_epoch", -1)) + 1
         best_path = self.log_dir / "best_metrics.json"
