@@ -1,252 +1,322 @@
 """Rigid-background refinement for the KITTI leaderboard (pure NumPy/OpenCV).
 
-Reference semantics: refine_utils.py:46-340 — estimate camera pose from flow
-correspondences via essential-matrix RANSAC, midpoint-triangulate, register
-scale against the input disparity via log-ratio RANSAC, refine with PnP, then
-overwrite background flow and disparity-change with the rigid reprojection.
+Post-processing that replaces the predicted flow / disparity-change on static
+background pixels with the reprojection of a rigid scene under an estimated
+camera motion. Behaviour matches the reference pipeline (refine_utils.py:46-340,
+which the reference adapted from gengshan-y/rigidmask), and the KITTI-tuned
+constants are kept verbatim because leaderboard numbers depend on them — but
+the implementation here is restructured from the geometry up:
 
-The reference optionally uses NG-RANSAC; we use the cv2.findEssentialMat
-fallback it also supports (refine_utils.py:183-187). The torch tensors the
-reference used as a numpy substitute (midpoint_triangulate) are plain numpy
-here.
+- camera pose is a small `Pose` value type instead of loose (R, T) tuples;
+- two-view midpoint triangulation is solved directly from its normal
+  equations  X = (sum_i (I - b_i b_i^T))^-1 sum_i (I - b_i b_i^T) a_i
+  (ray origins a_i, unit directions b_i). The reference's m1/m2/Cinv
+  formulation is algebraically identical (substitute B = n*I - C); the
+  direct form needs no pseudo-inverses and is sign-invariant in b.
+- the scale RANSAC and the agreement selection are expressed as standalone
+  helpers with explicit names.
+
+The reference optionally refines pose with NG-RANSAC; like its own fallback
+path we rely on cv2.findEssentialMat (refine_utils.py:183-187).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import cv2
 import numpy as np
 
-
-def triangulation(disp, xcoord, ycoord, bl=1.0, fl=450.0, cx=479.5, cy=269.5):
-    """Lift disparity to homogeneous 3D points (refine_utils.py:46-55)."""
-    mask = (disp <= 0).flatten()
-    depth = bl * fl / disp
-    X = (xcoord - cx) * depth / fl
-    Y = (ycoord - cy) * depth / fl
-    P = np.stack([X, Y, depth], axis=0).reshape(3, -1)
-    P = np.concatenate([P, np.ones((1, P.shape[-1]))], axis=0)
-    P[:, mask] = 0
-    return P
+# KITTI-tuned constants (values load-bearing for leaderboard parity)
+MAX_SAMPLED_CORRESPONDENCES = 3000  # pose / scale estimation subsample size
+SCALE_RANSAC_ITERS = 100
+SCALE_LOG_INLIER_THRESHOLD = 0.01
+AGREEMENT_LOG_RATIO = 1.2  # triangulated-vs-measured inverse-depth agreement
+MAX_PNP_POINTS = 50000  # keep only the best-agreeing points for PnP
+DEPTH_MEDIAN_WINDOW = 5.0  # accept inverse depths within [med/5, med*5]
+STATIC_PARALLAX_PX = 8.0  # mean residual parallax below this => camera static
 
 
-def midpoint_triangulate(x, cam):
-    """Midpoint triangulation over 2 cameras (refine_utils.py:59-110).
+@dataclass
+class Pose:
+    """Rigid camera motion: x_world = R @ x_cam + t (camera-1 center at t)."""
 
-    x: [3, n_cams, N] homogeneous image points. cam: list of 3x4 matrices.
-    Returns ([3, N] points, [N, 3, n] directional vectors).
+    rotation: np.ndarray  # [3, 3]
+    translation: np.ndarray  # [3]
+
+    def projection(self, intrinsics: np.ndarray) -> np.ndarray:
+        """3x4 projection matrix of the moved camera."""
+        rt = self.rotation.T
+        return intrinsics @ np.concatenate(
+            [rt, -rt @ self.translation[:, None]], axis=1
+        )
+
+
+def pixel_grid_homogeneous(height: int, width: int) -> np.ndarray:
+    """[3, H*W] homogeneous pixel coordinates (x, y, 1)."""
+    xs, ys = np.meshgrid(
+        np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32)
+    )
+    return np.stack([xs, ys, np.ones_like(xs)], 0).reshape(3, -1)
+
+
+def lift_disparity(
+    disp: np.ndarray, hp: np.ndarray, intrinsics: np.ndarray, baseline: float
+) -> np.ndarray:
+    """Disparity map -> camera-frame 3D points [3, H*W]; invalid disp -> 0."""
+    fl = intrinsics[0, 0]
+    depth = baseline * fl / disp.reshape(-1)
+    rays = np.linalg.inv(intrinsics) @ hp
+    points = rays * depth
+    points[:, (disp <= 0).reshape(-1)] = 0.0
+    return points
+
+
+def triangulate_two_view(
+    hp0: np.ndarray, hp1: np.ndarray, pose: Pose,
+    intrinsics0: np.ndarray, intrinsics1: np.ndarray,
+) -> np.ndarray:
+    """Midpoint triangulation of correspondences under `pose`.
+
+    Solves, per correspondence, the normal equations of
+    min_X sum_i || (I - b_i b_i^T)(X - a_i) ||^2 with ray origins
+    a_0 = 0, a_1 = pose.translation and unit directions b_i along the
+    backprojected pixels. Returns [3, N] world points.
     """
-    n = len(cam)
-    N = x.shape[-1]
-    I = np.eye(3)
-    A = np.zeros((3, n))
-    B = np.zeros((3, n, N))
-    sigma2 = np.zeros((3, N))
+    n_points = hp0.shape[1]
+    eye = np.eye(3, dtype=np.float64)
 
-    for i in range(n):
-        a = -np.linalg.inv(cam[i][:3, :3]).dot(cam[i][:3, -1:])
-        A[:, i, None] = a
-        if i == 0:
-            b = np.linalg.pinv(cam[i][:3, :3]).dot(x[:, i])
-        else:
-            b = np.linalg.pinv(cam[i]).dot(x[:, i])
-            b = b / b[3:]
-            b = b[:3, :] - a
-        b = b / np.linalg.norm(b, 2, 0)[np.newaxis]
-        B[:, i, :] = b
-        sigma2 = sigma2 + b * (b.T.dot(a).reshape(-1, N))
+    def unit_rays(matrix3, hp):
+        rays = np.linalg.inv(matrix3) @ hp
+        return rays / np.linalg.norm(rays, axis=0, keepdims=True)
 
-    Bo = B.transpose([2, 0, 1])  # [N, 3, n]
-    Bt = B.transpose([2, 1, 0])  # [N, n, 3]
+    b0 = unit_rays(intrinsics0, hp0)  # camera 0 at the origin
+    b1 = unit_rays(intrinsics1 @ pose.rotation.T, hp1)
 
-    BoBt = np.matmul(Bo, Bt)  # [N, 3, 3]
-    C = (n * I)[np.newaxis] - BoBt
-    Cinv = np.linalg.inv(C)
-    sigma1 = np.sum(A, axis=1)[:, None]  # [3, 1]
-    m1 = I[np.newaxis] + np.matmul(BoBt, Cinv)
-    m2 = np.matmul(Cinv, sigma2.T[:, :, np.newaxis])
-    midpoint = (1.0 / n) * np.matmul(m1, sigma1[np.newaxis]) - m2
-    return midpoint[:, :, 0].T, Bo
+    # per-point 3x3 systems, batched over N
+    def outer(b):  # [3, N] -> [N, 3, 3]
+        return b.T[:, :, None] * b.T[:, None, :]
+
+    normal = 2.0 * eye[None] - outer(b0) - outer(b1)  # sum_i (I - b_i b_i^T)
+    a1 = pose.translation.astype(np.float64)
+    rhs = (eye[None] - outer(b1)) @ a1  # a_0 = 0 contributes nothing
+    return np.linalg.solve(normal, rhs[:, :, None])[:, :, 0].T
 
 
-def register_disp_fast(id_flow, id_mono, mask, inlier_th=0.01, niters=100):
-    """Scale registration by RANSAC over disparity log-ratios
-    (refine_utils.py:114-145)."""
-    shape = id_mono.shape
-    id_mono = id_mono.flatten()
-    disp_flow = id_flow[mask]
-    disp_mono = id_mono[mask]
+def ransac_log_scale(
+    pred: np.ndarray,
+    measured: np.ndarray,
+    inlier_threshold: float = SCALE_LOG_INLIER_THRESHOLD,
+    n_iters: int = SCALE_RANSAC_ITERS,
+) -> tuple[float, float]:
+    """RANSAC a multiplicative scale between two positive signals.
 
-    num_samp = min(3000, len(disp_flow))
+    Candidates are the per-sample ratios at random indices; the winner
+    maximises the count of |log(measured * s) - log(pred)| < threshold.
+    Returns (scale, inlier_ratio). Seeded for deterministic submissions.
+    """
+    count = len(pred)
     np.random.seed(0)
-    submask = np.random.choice(range(len(disp_flow)), num_samp)
-    disp_flow = disp_flow[submask]
-    disp_mono = disp_mono[submask]
+    keep = np.random.choice(range(count), min(MAX_SAMPLED_CORRESPONDENCES, count))
+    pred = pred[keep]
+    measured = measured[keep]
 
-    n = len(disp_flow)
-    rand_idx = np.random.choice(range(n), niters)
-    scale_cand = (disp_flow / disp_mono)[rand_idx]
-    dis_cand = np.abs(
-        np.log(disp_mono[:, np.newaxis] * scale_cand[np.newaxis])
-        - np.log(disp_flow[:, np.newaxis])
+    draw = np.random.choice(range(len(pred)), n_iters)
+    candidates = (pred / measured)[draw]
+    log_err = np.abs(
+        np.log(measured[:, None] * candidates[None]) - np.log(pred[:, None])
     )
-    rank_metric = (dis_cand < inlier_th).sum(0)
-    scale = scale_cand[np.argmax(rank_metric)]
+    votes = (log_err < inlier_threshold).sum(0)
+    scale = candidates[np.argmax(votes)]
+    inliers = (
+        np.abs(np.log(measured * scale) - np.log(pred)) < inlier_threshold
+    ).mean()
+    return float(scale), float(inliers)
 
-    dis = np.abs(np.log(disp_mono * scale) - np.log(disp_flow))
-    ninliers = (dis < inlier_th).sum() / n
-    registered_flow = id_flow.reshape(shape) / scale
-    return registered_flow, scale, ninliers
 
-
-def test_essential(K0, K1, R, T, p1, p2):
-    """Cheirality check for an (R, T) decomposition (refine_utils.py:214-223)."""
-    testP = cv2.triangulatePoints(
-        K0.dot(np.concatenate((np.eye(3), np.zeros((3, 1))), -1)),
-        K1.dot(np.concatenate((R, T), -1)),
-        p1[:2],
-        p2[:2],
+def _depth_positive_fraction_ok(
+    intrinsics0, intrinsics1, rotation, translation, hp0, hp1
+) -> bool:
+    """Cheirality: most triangulated depths positive in both cameras."""
+    probe = cv2.triangulatePoints(
+        intrinsics0 @ np.concatenate([np.eye(3), np.zeros((3, 1))], -1),
+        intrinsics1 @ np.concatenate([rotation, translation], -1),
+        hp0[:2],
+        hp1[:2],
     )
-    Z1 = testP[2, :] / testP[-1, :]
-    Z2 = (R.dot(Z1 * np.linalg.inv(K0).dot(p1)) + T)[-1, :]
-    return ((Z1 > 0).sum() > (Z1 <= 0).sum()) and ((Z2 > 0).sum() > (Z2 <= 0).sum())
+    depth0 = probe[2] / probe[-1]
+    depth1 = (rotation @ (depth0 * (np.linalg.inv(intrinsics0) @ hp0)) + translation)[-1]
+    return (depth0 > 0).sum() > (depth0 <= 0).sum() and (
+        depth1 > 0
+    ).sum() > (depth1 <= 0).sum()
 
 
-def find_pose(hp0, hp1, K0, K1):
-    """Essential-matrix pose via cv2 RANSAC (refine_utils.py:149-210, cv path)."""
-    nhp0 = np.linalg.inv(K0).dot(hp0)
-    nhp1 = np.linalg.inv(K1).dot(hp1)
-    pts1 = nhp0[:2].T
-    pts2 = nhp1[:2].T
-    E, _ = cv2.findEssentialMat(pts1, pts2, np.eye(3), cv2.FM_RANSAC, threshold=0.0001)
-    if E is None or E.shape != (3, 3):
-        return np.eye(3), np.asarray([0, 0, 1.0]), None
-    R01 = np.eye(3)
-    T01 = np.asarray([0, 0, 1.0])
-    R1, R2, T = cv2.decomposeEssentialMat(E)
-    for rott in [(R1, T), (R2, T), (R1, -T), (R2, -T)]:
-        if test_essential(K0, K1, rott[0], rott[1], hp0, hp1):
-            R01 = rott[0].T
-            T01 = -R01.dot(rott[1][:, 0])
-    return R01, T01, E
+def estimate_ego_pose(
+    hp0: np.ndarray, hp1: np.ndarray,
+    intrinsics0: np.ndarray, intrinsics1: np.ndarray,
+) -> Pose:
+    """Camera pose up to scale from an essential-matrix RANSAC.
+
+    Tries all four (R, t) decompositions and keeps the one passing the
+    cheirality check; identity/forward if estimation fails.
+    """
+    norm0 = (np.linalg.inv(intrinsics0) @ hp0)[:2].T
+    norm1 = (np.linalg.inv(intrinsics1) @ hp1)[:2].T
+    essential, _ = cv2.findEssentialMat(
+        norm0, norm1, np.eye(3), cv2.FM_RANSAC, threshold=0.0001
+    )
+    pose = Pose(np.eye(3), np.asarray([0.0, 0.0, 1.0]))
+    if essential is None or essential.shape != (3, 3):
+        return pose
+    rot_a, rot_b, trans = cv2.decomposeEssentialMat(essential)
+    for rotation, translation in (
+        (rot_a, trans), (rot_b, trans), (rot_a, -trans), (rot_b, -trans)
+    ):
+        if _depth_positive_fraction_ok(
+            intrinsics0, intrinsics1, rotation, translation, hp0, hp1
+        ):
+            # convert cam0->cam1 extrinsics to a world-frame camera motion
+            pose = Pose(rotation.T, -rotation.T @ translation[:, 0])
+    return pose
 
 
-def pose_estimate(K0, K1, hp0, hp1, strict_mask):
-    """Pose from a subsample of valid correspondences (refine_utils.py:227-258)."""
-    tmphp0 = hp0[:, strict_mask]
-    tmphp1 = hp1[:, strict_mask]
-    num_samp = min(3000, tmphp0.shape[1])
-    submask = np.random.choice(range(tmphp0.shape[1]), num_samp)
-    tmphp0 = tmphp0[:, submask]
-    tmphp1 = tmphp1[:, submask]
-
-    R01, T01, E = find_pose(tmphp0, tmphp1, K0, K1)
-
-    H01 = K0.dot(R01).dot(np.linalg.inv(K1))  # plane at infinity
-    comp_hp1 = H01.dot(hp1)
-    comp_hp1 = comp_hp1 / comp_hp1[-1:]
-    return R01, T01, H01, comp_hp1, E
+def _subsample_pairs(
+    hp0: np.ndarray, hp1: np.ndarray, mask: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """One shared random draw keeps the correspondences paired."""
+    kept0, kept1 = hp0[:, mask], hp1[:, mask]
+    draw = np.random.choice(
+        range(kept0.shape[1]), min(MAX_SAMPLED_CORRESPONDENCES, kept0.shape[1])
+    )
+    return kept0[:, draw], kept1[:, draw]
 
 
-def evaluate_tri(
-    t10, R01, K0, K1, hp0, hp1, disp0, bl, inlier_th=0.1, select_th=0.4, valid_mask=None
+def select_rigid_agreement(
+    pose: Pose, hp0, hp1, disp, baseline, intrinsics0, intrinsics1, valid_mask
 ):
-    """Triangulate + scale-register, return agreement mask
-    (refine_utils.py:262-288)."""
-    if valid_mask is not None:
-        hp0 = hp0[:, valid_mask]
-        hp1 = hp1[:, valid_mask]
-        disp0 = disp0.flatten()[valid_mask]
-    cams = [
-        K0.dot(np.concatenate((np.eye(3), np.zeros((3, 1))), -1)),
-        K1.dot(np.concatenate((R01.T, -R01.T.dot(t10[:, np.newaxis])), -1)),
-    ]
-    P_pred, _ = midpoint_triangulate(
-        np.concatenate([hp0[:, np.newaxis], hp1[:, np.newaxis]], 1), cams
-    )
-    idepth_p3d = np.clip(K0[0, 0] * bl / P_pred[2], 1e-6, np.inf)
+    """Triangulate valid correspondences, register the translation scale
+    against the measured disparity, and rank points by how well their
+    triangulated inverse depth agrees with it.
 
-    entmask = np.logical_and(idepth_p3d > 1e-12, ~np.isinf(idepth_p3d))
-    entmask_tmp = entmask[entmask].copy()
-    entmask_tmp[np.argsort(-idepth_p3d[entmask])[entmask.sum() // 2 :]] = False
-    entmask[entmask] = entmask_tmp
-    med = np.median(idepth_p3d[entmask])
-    entmask = np.logical_and(
-        entmask, np.logical_and(idepth_p3d > med / 5.0, idepth_p3d < med * 5)
+    Returns (agreement_mask over valid points, scaled translation,
+    agreement ranking) or (None, None, None) when too few points survive.
+    """
+    hp0 = hp0[:, valid_mask]
+    hp1 = hp1[:, valid_mask]
+    disp = disp.reshape(-1)[valid_mask]
+
+    points = triangulate_two_view(hp0, hp1, pose, intrinsics0, intrinsics1)
+    inv_depth = np.clip(intrinsics0[0, 0] * baseline / points[2], 1e-6, np.inf)
+
+    # keep the nearer half, then a [med/5, med*5] window around its median
+    finite = np.logical_and(inv_depth > 1e-12, ~np.isinf(inv_depth))
+    kept = finite[finite].copy()
+    n_finite = finite.sum()
+    ascending = np.argsort(inv_depth[finite])
+    kept[ascending[: n_finite - n_finite // 2]] = False
+    finite[finite] = kept
+    median = np.median(inv_depth[finite])
+    finite &= (inv_depth > median / DEPTH_MEDIAN_WINDOW) & (
+        inv_depth < median * DEPTH_MEDIAN_WINDOW
     )
-    if entmask.sum() < 10:
+    if finite.sum() < 10:
         return None, None, None
-    registered_p3d, scale, _ = register_disp_fast(
-        idepth_p3d, disp0, entmask, inlier_th=inlier_th, niters=100
-    )
-    disp_ratio = np.abs(np.log(registered_p3d.flatten() / disp0.flatten()))
-    agree_mask = disp_ratio < np.log(select_th)
-    rank = np.argsort(disp_ratio)
-    return agree_mask, t10 * scale, rank
+
+    scale, _ = ransac_log_scale(inv_depth[finite], disp[finite])
+    log_ratio = np.abs(np.log(inv_depth / scale) - np.log(disp))
+    agreement = log_ratio < np.log(AGREEMENT_LOG_RATIO)
+    ranking = np.argsort(log_ratio)
+    return agreement, pose.translation * scale, ranking
 
 
-def mod_flow(bg_mask, disp, disp_change, flow, K0, K1, bl, occ_mask, parallax_th=8):
-    """Overwrite background flow/disp-change with a rigid-scene reprojection
-    (refine_utils.py:291-340)."""
+def refine_rigid_background(
+    bg_mask: np.ndarray,
+    disp: np.ndarray,
+    disp_change: np.ndarray,
+    flow: np.ndarray,
+    intrinsics0: np.ndarray,
+    intrinsics1: np.ndarray,
+    baseline: float,
+    occ_mask: np.ndarray,
+    parallax_threshold: float = STATIC_PARALLAX_PX,
+):
+    """Overwrite background flow / disparity-change with a rigid reprojection.
+
+    Pipeline: essential-matrix pose -> residual-parallax static check ->
+    triangulation-agreement point selection -> two-stage PnP polish ->
+    reproject the disparity-lifted scene under the polished pose.
+
+    Args mirror the submission files: `disp`/`disp_change` maps, `flow`
+    [H, W, 2], boolean background and non-occlusion masks, 3x3 intrinsics.
+    Returns (refined_flow, refined_disp_change).
+    """
     flow = flow.copy()
-    h, w = flow.shape[:2]
-    x0, y0 = np.meshgrid(range(w), range(h))
-    x0 = x0.astype(np.float32)
-    y0 = y0.astype(np.float32)
-    x1 = x0 + flow[:, :, 0]
-    y1 = y0 + flow[:, :, 1]
-    ones = np.ones_like(x1)
-    hp0 = np.stack([x0, y0, ones], 0).reshape(3, -1)
-    hp1 = np.stack([x1, y1, ones], 0).reshape(3, -1)
+    height, width = flow.shape[:2]
+    hp0 = pixel_grid_homogeneous(height, width)
+    hp1 = np.concatenate(
+        [hp0[:2] + flow.reshape(-1, 2).T, hp0[2:]], axis=0
+    ).astype(hp0.dtype)
 
-    valid_mask = np.logical_and(
-        disp > 0, np.logical_and(bg_mask, occ_mask)
-    ).flatten()
+    valid_mask = ((disp > 0) & bg_mask & occ_mask).reshape(-1)
 
-    R01, T01, _, comp_hp1, _ = pose_estimate(K0, K1, hp0, hp1, valid_mask)
+    sampled0, sampled1 = _subsample_pairs(hp0, hp1, valid_mask)
+    pose = estimate_ego_pose(sampled0, sampled1, intrinsics0, intrinsics1)
 
-    parallax = np.transpose(comp_hp1[:2] - hp0[:2], [1, 0]).reshape(x1.shape + (2,))
-    parallax_mag = np.linalg.norm(parallax[:, :, :2], 2, 2)
+    # residual parallax after removing rotation (plane-at-infinity homography)
+    infinity_h = intrinsics0 @ pose.rotation @ np.linalg.inv(intrinsics1)
+    rotated_hp1 = infinity_h @ hp1
+    rotated_hp1 /= rotated_hp1[-1:]
+    parallax = np.linalg.norm(
+        (rotated_hp1[:2] - hp0[:2]).T.reshape(height, width, 2), axis=-1
+    )
+    if parallax[bg_mask].mean() < parallax_threshold:
+        # static camera: rigid replacement would be degenerate; keep inputs
+        return flow, disp_change
 
-    reg_flow_P = triangulation(
-        disp, x0, y0, bl=bl, fl=K0[0, 0], cx=K0[0, 2], cy=K0[1, 2]
-    )[:3]
+    agreement, _, ranking = select_rigid_agreement(
+        pose, hp0, hp1, disp, baseline, intrinsics0, intrinsics1, valid_mask
+    )
+    if agreement is None:
+        return flow, disp_change
+    agreement[ranking[MAX_PNP_POINTS:]] = False
+    pnp_mask = valid_mask.copy()
+    pnp_mask[pnp_mask] = agreement
 
-    is_static = parallax_mag[bg_mask].mean() < parallax_th
+    scene = lift_disparity(disp, hp0, intrinsics0, baseline)
 
-    if not is_static:
-        aligned_mask, T01_c, ranked_p = evaluate_tri(
-            T01, R01, K0, K1, hp0, hp1, disp, bl,
-            inlier_th=0.01, select_th=1.2, valid_mask=valid_mask,
-        )
-        if aligned_mask is None:
-            return flow, disp_change
-        aligned_mask[ranked_p[50000:]] = False
-        tmp = valid_mask.copy()
-        tmp[tmp] = aligned_mask
-        aligned_mask = tmp
+    # PnP polish: EPnP bootstrap, then iterative refinement from that guess.
+    # (The reference used SOLVEPNP_DLS, which modern OpenCV maps to EPnP.)
+    object_points = scene.T[pnp_mask, None]
+    image_points = hp1[:2].T[pnp_mask, None]
+    _, rodrigues, trans = cv2.solvePnP(
+        object_points, image_points, intrinsics0, np.zeros(4),
+        flags=getattr(cv2, "SOLVEPNP_DLS", cv2.SOLVEPNP_EPNP),
+    )
+    _, rodrigues, trans = cv2.solvePnP(
+        object_points, image_points, intrinsics0, np.zeros(4),
+        rodrigues, trans, useExtrinsicGuess=True, flags=cv2.SOLVEPNP_ITERATIVE,
+    )
+    rotation = cv2.Rodrigues(rodrigues)[0].T
+    translation = (-rotation @ trans)[:, 0]
+    if np.isinf(np.linalg.norm(translation)):
+        return flow, disp_change
 
-        # DLS was removed in OpenCV 5 (and internally mapped to EPnP in
-        # late OpenCV 4, which the reference ran on)
-        pnp_flag = getattr(cv2, "SOLVEPNP_DLS", cv2.SOLVEPNP_EPNP)
-        _, rvec, T01 = cv2.solvePnP(
-            reg_flow_P.T[aligned_mask.flatten(), np.newaxis],
-            hp1[:2].T[aligned_mask.flatten(), np.newaxis],
-            K0, np.zeros(4), flags=pnp_flag,
-        )
-        _, rvec, T01 = cv2.solvePnP(
-            reg_flow_P.T[aligned_mask, np.newaxis],
-            hp1[:2].T[aligned_mask, np.newaxis],
-            K0, np.zeros(4), rvec, T01,
-            useExtrinsicGuess=True, flags=cv2.SOLVEPNP_ITERATIVE,
-        )
-        R01 = cv2.Rodrigues(rvec)[0].T
-        T01_c = -R01.dot(T01)[:, 0]
-
-        if not (T01_c is None or np.isinf(np.linalg.norm(T01_c))):
-            reg_flow_PP = R01.T.dot(reg_flow_P) - R01.T.dot(T01_c)[:, np.newaxis]
-            hpp1 = K0.dot(reg_flow_PP)
-            hpp1 = hpp1 / hpp1[-1:]
-            flow[bg_mask] = (hpp1 - hp0).T.reshape(h, w, 3)[bg_mask][:, :2]
-            disp_change[bg_mask] = bl * K0[0, 0] / reg_flow_PP[-1].reshape(h, w)[bg_mask]
-
+    # reproject the lifted scene under the polished pose
+    moved = rotation.T @ scene - (rotation.T @ translation)[:, None]
+    projected = intrinsics0 @ moved
+    projected /= projected[-1:]
+    flow[bg_mask] = (projected - hp0).T.reshape(height, width, 3)[bg_mask][:, :2]
+    disp_change[bg_mask] = (
+        baseline * intrinsics0[0, 0] / moved[-1].reshape(height, width)[bg_mask]
+    )
     return flow, disp_change
+
+
+# public API name used by refine_background.py and the reference CLI
+def mod_flow(bg_mask, disp, disp_change, flow, K0, K1, bl, occ_mask,
+             parallax_th: float = STATIC_PARALLAX_PX):
+    """Reference-named wrapper of `refine_rigid_background`."""
+    return refine_rigid_background(
+        bg_mask, disp, disp_change, flow, K0, K1, bl, occ_mask,
+        parallax_threshold=parallax_th,
+    )
