@@ -89,6 +89,11 @@ def main():
                     "vs_baseline": round(fps / BASELINE_FPS, 4),
                     "batch_size": batch_size,
                     "n_iters": 20,
+                    # the 50 fps north star is stated for TPU v5p
+                    # (BASELINE.md); this environment measures on whatever
+                    # chip the tunnel exposes — record both.
+                    "baseline_hw": "v5p",
+                    "measured_hw": str(jax.devices()[0].device_kind),
                     "device": str(jax.devices()[0].device_kind),
                 }
         except Exception as e:  # OOM at this batch size -> skip it
