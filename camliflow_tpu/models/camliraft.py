@@ -50,6 +50,7 @@ from .camliraft_l import (
     GRU3D,
     MotionEncoder3D,
     build_cost_volume_pyramid_3d,
+    encoder_knn_indices,
 )
 from .losses import calc_sequence_loss
 from .metrics import (
@@ -135,9 +136,10 @@ class FusedUpdateBlock(nn.Module):
         )
         level_sizes = tuple(x.shape[1] for x in xyzs2)
 
-        # correlation lookups
+        # correlation lookups (fast inference: bf16 hi-only volume)
         corr_2d = corr_lookup_2d_padded(
-            consts["pyramid_2d"], consts["grid"] + flow_2d, radius=self.corr_radius
+            consts["pyramid_2d"], consts["grid"] + flow_2d, radius=self.corr_radius,
+            split=not self.fast_inference,
         )
         corr_3d = self.correlation_3d(
             xyz1, xyz2_warp_full, level_sizes, consts["pyramid_3d"],
@@ -226,18 +228,25 @@ class CamLiRAFTCore(nn.Module):
 
         # 3D feature/context networks. Stacking changes train-mode BatchNorm
         # batch statistics, so only eval stacks (eval BN uses running stats ->
-        # identical); training keeps the reference's per-frame calls.
+        # identical); training keeps the reference's per-frame calls. The
+        # level-to-level KNN depends only on geometry, so one (two-frame
+        # batched) KNN serves fnet and cnet.
+        stacked = [
+            jnp.concatenate([a, b], axis=0) for a, b in zip(xyzs1[:3], xyzs2[:3])
+        ]
+        knn_both = encoder_knn_indices(stacked)
+        knn_f1 = [idx[:batch] for idx in knn_both]
+        knn_f2 = [idx[batch:] for idx in knn_both]
         fnet_3d = Encoder3D(name="fnet_3d")
         if train:
-            feat1_3d = fnet_3d(xyzs1[:3], train=train)[2]
-            feat2_3d = fnet_3d(xyzs2[:3], train=train)[2]
+            feat1_3d = fnet_3d(xyzs1[:3], train=train, knn_indices=knn_f1)[2]
+            feat2_3d = fnet_3d(xyzs2[:3], train=train, knn_indices=knn_f2)[2]
         else:
-            stacked = [
-                jnp.concatenate([a, b], axis=0) for a, b in zip(xyzs1[:3], xyzs2[:3])
-            ]
-            feats = fnet_3d(stacked, train=train)[2]
+            feats = fnet_3d(stacked, train=train, knn_indices=knn_both)[2]
             feat1_3d, feat2_3d = feats[:batch], feats[batch:]
-        featc_3d = Encoder3D(name="cnet_3d")(xyzs1[:3], train=train)[2]
+        featc_3d = Encoder3D(name="cnet_3d")(
+            xyzs1[:3], train=train, knn_indices=knn_f1
+        )[2]
 
         xyzs1, xyzs2 = xyzs1[2:], xyzs2[2:]
         xyz1 = xyzs1[0]
@@ -296,8 +305,12 @@ class CamLiRAFTCore(nn.Module):
             aligner(feat2_2d.astype(jnp.float32)),
             num_levels=4,
         )
-        # pad once for the in-loop lookups (loop-invariant)
-        pyramid_2d = pad_pyramid_for_lookup(pyramid_2d)
+        # pad once for the in-loop lookups (loop-invariant); the TPU eval
+        # fast path keeps only the bf16 hi half (see pad_pyramid_for_lookup)
+        from ..ops.geometry import _on_tpu
+
+        fast = self.final_only and _on_tpu()
+        pyramid_2d = pad_pyramid_for_lookup(pyramid_2d, split=not fast)
         pyramid_3d = build_cost_volume_pyramid_3d(feat1_3d, feat2_3d, xyzs2)
 
         knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
@@ -317,14 +330,12 @@ class CamLiRAFTCore(nn.Module):
         batch, image_h, image_w, _ = image1.shape
         grid = mesh_grid(batch, image_h // 8, image_w // 8)
 
-        from ..ops.geometry import _on_tpu
-
         update = FusedUpdateBlock(
             fuse_corr=self.fuse_corr,
             fuse_motion=self.fuse_motion,
             fuse_hidden=self.fuse_hidden,
             upsample_each=not self.final_only,
-            fast_inference=self.final_only and _on_tpu(),
+            fast_inference=fast,
             name="update",
         )
         consts = {

@@ -39,23 +39,47 @@ from .metrics import compute_3d_metrics, merge_metrics, scalar_metric
 
 
 class Encoder3D(nn.Module):
-    """3-level point feature encoder (camliraft_l_core.py:8-37)."""
+    """3-level point feature encoder (camliraft_l_core.py:8-37).
+
+    `knn_indices` (one [B, M_{i+1}, >=k] array per down-conv) lets callers
+    share the level-to-level KNN between the feature and context encoders —
+    the indices depend only on the point pyramid, which both encoders see
+    identically, and the KNN is the encoder's dominant cost.
+    """
 
     n_channels: tuple[int, ...] = (64, 96, 128)
     norm: str | None = "batch_norm"
     k: int = 16
 
     @nn.compact
-    def __call__(self, xyzs: list[jax.Array], train: bool = False) -> list[jax.Array]:
+    def __call__(
+        self,
+        xyzs: list[jax.Array],
+        train: bool = False,
+        knn_indices: list[jax.Array] | None = None,
+    ) -> list[jax.Array]:
         c = self.n_channels
         feats = [MLP([c[0], c[0]], name="level0_mlp")(xyzs[0], train=train)]
         for i in range(len(c) - 1):
             feat = MLP([c[i], c[i + 1]], name=f"mlp_{i}")(feats[-1], train=train)
             feat = PointConv(
                 c[i + 1], norm=self.norm, k=self.k, name=f"conv_{i}"
-            )(xyzs[i], feat, xyzs[i + 1], train=train)
+            )(
+                xyzs[i],
+                feat,
+                xyzs[i + 1],
+                knn_indices=None if knn_indices is None else knn_indices[i],
+                train=train,
+            )
             feats.append(feat)
         return feats
+
+
+def encoder_knn_indices(xyzs: list[jax.Array], k: int = 16) -> list[jax.Array]:
+    """Level-to-level KNN indices for `Encoder3D` (shared fnet/cnet)."""
+    return [
+        k_nearest_neighbor(xyzs[i], xyzs[i + 1], k) for i in range(len(xyzs) - 1)
+    ]
 
 
 def build_cost_volume_pyramid_3d(
@@ -381,10 +405,19 @@ class CamLiRAFTLCore(nn.Module):
         """pc1/pc2: [B, N, 3]. Returns [T, B, N, 3] per-iteration flows."""
         xyzs1, xyzs2, _, _ = build_pc_pyramid(pc1, pc2, list(self.n_samples_list))
 
+        # one KNN per pyramid level serves both frames (batched) and both
+        # encoders (the indices depend only on geometry)
+        batch = pc1.shape[0]
+        knn_both = encoder_knn_indices(
+            [jnp.concatenate([a, b], axis=0) for a, b in zip(xyzs1[:3], xyzs2[:3])]
+        )
+        knn_f1 = [idx[:batch] for idx in knn_both]
+        knn_f2 = [idx[batch:] for idx in knn_both]
+
         fnet = Encoder3D(name="fnet")
-        feat1 = fnet(xyzs1[:3], train=train)[2]
-        feat2 = fnet(xyzs2[:3], train=train)[2]
-        featc = Encoder3D(name="cnet")(xyzs1[:3], train=train)[2]
+        feat1 = fnet(xyzs1[:3], train=train, knn_indices=knn_f1)[2]
+        feat2 = fnet(xyzs2[:3], train=train, knn_indices=knn_f2)[2]
+        featc = Encoder3D(name="cnet")(xyzs1[:3], train=train, knn_indices=knn_f1)[2]
         featc = dense(256, name="cnet_aligner")(featc)
 
         xyzs1, xyzs2 = xyzs1[2:], xyzs2[2:]

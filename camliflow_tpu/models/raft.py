@@ -117,6 +117,8 @@ class UpdateBlock2D(nn.Module):
 
     corr_radius: int = 4
     upsample_each: bool = True
+    # bf16 hi-only correlation-volume lookup (forward-only eval path)
+    fast_inference: bool = False
 
     def setup(self):
         self.motion_encoder = MotionEncoder2D()
@@ -131,7 +133,8 @@ class UpdateBlock2D(nn.Module):
         h, flow = carry
         flow = jax.lax.stop_gradient(flow)
         corr = corr_lookup_2d_padded(
-            consts["pyramid"], consts["grid"] + flow, radius=self.corr_radius
+            consts["pyramid"], consts["grid"] + flow, radius=self.corr_radius,
+            split=not self.fast_inference,
         )
         motion = self.motion_encoder(flow, corr)
         h = self.gru(h, jnp.concatenate([consts["x"], motion], axis=-1))
@@ -170,8 +173,12 @@ class RAFTCore(nn.Module):
             self.corr_levels,
         )
 
-        # pad once for the in-loop lookups (loop-invariant)
-        pyramid = pad_pyramid_for_lookup(pyramid, self.corr_radius)
+        # pad once for the in-loop lookups (loop-invariant); the TPU eval
+        # fast path keeps only the bf16 hi half (see pad_pyramid_for_lookup)
+        from ..ops.geometry import _on_tpu
+
+        fast = self.final_only and _on_tpu()
+        pyramid = pad_pyramid_for_lookup(pyramid, self.corr_radius, split=not fast)
 
         cnet = ResNetEncoder2D(depth=self.backbone_depth, name="cnet")(
             image1, train=train
@@ -189,6 +196,7 @@ class RAFTCore(nn.Module):
         update = UpdateBlock2D(
             corr_radius=self.corr_radius,
             upsample_each=not self.final_only,
+            fast_inference=fast,
             name="update",
         )
         scan = nn.scan(

@@ -98,26 +98,52 @@ def all_pairs_correlation_pyramid(
     return pyramid
 
 
+def _lookup_pad(radius: int) -> int:
+    # minimal zero margin covering every clamped base coordinate:
+    # start = floor(clip(c, -(r+1), dim+r)) + pad - r must satisfy
+    # 0 <= start and start + 2r+2 <= dim + 2*pad  =>  pad >= 2r + 2
+    return 2 * radius + 2
+
+
 def pad_pyramid_for_lookup(
-    pyramid: list[jax.Array], radius: int = 4
+    pyramid: list[jax.Array], radius: int = 4, split: bool = True
 ) -> list[jax.Array]:
-    """Zero-pad each pyramid level once for `corr_lookup_2d`.
+    """Zero-pad + bfloat16 packing of each pyramid level for `corr_lookup_2d`.
 
     The pyramid is constant across RAFT iterations while the lookup runs every
     iteration; hoisting the (hundreds of MB) pad writes out of the refinement
-    scan saves that HBM traffic per iteration. Returns [rows, h+2p, w+2p]
-    arrays (channel squeezed).
+    scan saves that HBM traffic per iteration.
+
+    split=True (exact): each level becomes [rows, h+2p, 2*(w+2p)] bfloat16
+    with the padded map split into bf16 high/low halves concatenated along
+    the width axis: hi = bf16(v), lo = bf16(v - hi). The in-loop one-hot
+    selection matmuls then run as single-pass bf16 MXU ops (one-hot entries
+    are exact in bf16, and selecting then re-summing hi+lo reconstructs v to
+    ~2^-18 relative — tighter AND cheaper than 3-pass HIGH f32 matmuls).
+
+    split=False (fast inference): hi half only, [rows, h+2p, w+2p] bfloat16.
+    Halves the per-iteration HBM volume traffic and the selection-matmul
+    width at ~2^-9 relative error on the looked-up correlation values
+    (measured: 2.45x faster lookup, flow output delta ~1e-3 px — far inside
+    the 1% EPE parity budget; see PERF.md).
     """
-    pad = 2 * radius + 4
-    return [
-        jnp.pad(corr[..., 0], ((0, 0), (pad, pad), (pad, pad)))
-        for corr in pyramid
-    ]
+    pad = _lookup_pad(radius)
+    out = []
+    for corr in pyramid:
+        padded = jnp.pad(corr[..., 0], ((0, 0), (pad, pad), (pad, pad)))
+        hi = padded.astype(jnp.bfloat16)
+        if not split:
+            out.append(hi)
+            continue
+        lo = (padded - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out.append(jnp.concatenate([hi, lo], axis=-1))
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
+@functools.partial(jax.jit, static_argnames=("radius", "split"))
 def corr_lookup_2d(
-    pyramid: list[jax.Array], coords: jax.Array, radius: int = 4
+    pyramid: list[jax.Array], coords: jax.Array, radius: int = 4,
+    split: bool = True,
 ) -> jax.Array:
     """Bilinear windowed lookup into the all-pairs pyramid (pads inline).
 
@@ -126,13 +152,15 @@ def corr_lookup_2d(
     its pad writes are hundreds of MB per call at full resolution.
     """
     return corr_lookup_2d_padded(
-        pad_pyramid_for_lookup(pyramid, radius), coords, radius
+        pad_pyramid_for_lookup(pyramid, radius, split=split), coords, radius,
+        split=split,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
+@functools.partial(jax.jit, static_argnames=("radius", "split"))
 def corr_lookup_2d_padded(
-    padded_pyramid: list[jax.Array], coords: jax.Array, radius: int = 4
+    padded_pyramid: list[jax.Array], coords: jax.Array, radius: int = 4,
+    split: bool = True,
 ) -> jax.Array:
     """Bilinear windowed lookup into the pre-padded all-pairs pyramid.
 
@@ -152,6 +180,13 @@ def corr_lookup_2d_padded(
     base coordinate and apply the 2x2 bilinear blend to the whole patch —
     exactly the same float math, ~10x faster on TPU.
 
+    Both one-hot selection matmuls run as single-pass bf16 MXU ops against
+    the hi/lo-split volume (see `pad_pyramid_for_lookup`): one-hot entries
+    are exact in bf16, a one-hot selection of bf16 values is exact in the
+    f32 accumulator (it sums a single product), and the hi+lo recombination
+    restores the f32 volume to ~2^-18 relative — cheaper AND tighter than
+    3-pass HIGH f32 matmuls.
+
     Reference quirk preserved for checkpoint parity: the window offsets enter
     as (x + dy_i, y + dx_j) with channel k = i*span + j
     (raft_core.py:79-85 + 100-104), i.e. the x offset is the *major* index.
@@ -160,18 +195,22 @@ def corr_lookup_2d_padded(
     r = radius
     span = 2 * r + 1
     patch = 2 * r + 2
-    pad = 2 * r + 4  # covers any clamped base; clamped coords land on zeros
+    pad = _lookup_pad(r)
+    halves = 2 if split else 1
 
     coords_flat = coords.reshape(batch * height * width, 2).astype(jnp.float32)
     out_pyramid = []
-    for i, padded in enumerate(padded_pyramid):
-        rows = padded.shape[0]
-        level_h, level_w = padded.shape[1] - 2 * pad, padded.shape[2] - 2 * pad
+    for i, padded2 in enumerate(padded_pyramid):
+        rows, ph = padded2.shape[0], padded2.shape[1]
+        pw = padded2.shape[2] // halves  # [hi | lo] halves along width
+        level_h, level_w = ph - 2 * pad, pw - 2 * pad
         c = coords_flat / (2.0**i)
         # clamp far-out coords; everything at/beyond the clamp samples only
-        # zero padding, matching grid_sample's zeros mode
-        cx = jnp.clip(c[:, 0], -(r + 2.0), level_w + r + 1.0)
-        cy = jnp.clip(c[:, 1], -(r + 2.0), level_h + r + 1.0)
+        # zero padding, matching grid_sample's zeros mode (at the clamp the
+        # fractional part is 0 and every contributing tap lands outside
+        # [0, dim), so the clamped result is the true all-zeros result)
+        cx = jnp.clip(c[:, 0], -(r + 1.0), level_w + r)
+        cy = jnp.clip(c[:, 1], -(r + 1.0), level_h + r)
         x0 = jnp.floor(cx)
         y0 = jnp.floor(cy)
         fx = (cx - x0)[:, None, None]
@@ -180,36 +219,26 @@ def corr_lookup_2d_padded(
         start_y = (y0 + (pad - r)).astype(jnp.int32)
         start_x = (x0 + (pad - r)).astype(jnp.int32)
 
-        # Patch extraction as two batched one-hot matmuls — all MXU, no
-        # gathers (TPU gathers of small blocks are an order of magnitude
-        # slower than the equivalent dense contraction). One-hot entries are
-        # exact in bf16, so 3-pass (HIGH) precision reproduces the selected
-        # values to ~17 mantissa bits (rel err ~1e-5) at half the MXU cost —
-        # far below the 1% EPE parity budget.
-        ph, pw = padded.shape[1:]
         patch_ids = jax.lax.broadcasted_iota(jnp.int32, (1, patch, 1), 1)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ph), 2)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pw), 2)
         row_sel = (row_ids == start_y[:, None, None] + patch_ids).astype(
-            jnp.float32
+            jnp.bfloat16
         )  # [rows, P, ph]
         col_sel = (col_ids == start_x[:, None, None] + patch_ids).astype(
-            jnp.float32
+            jnp.bfloat16
         )  # [rows, P, pw]
-        rows_slab = jnp.einsum(
-            "rph,rhw->rpw",
-            row_sel,
-            padded,
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
-        )
-        patches = jnp.einsum(
-            "rpw,rqw->rpq",
-            rows_slab,
-            col_sel,
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
-        )  # [rows, P(y), P(x)]
+        # stage 1: row selection over the halves; the f32 result holds pure
+        # bf16 values (one-hot selection), so the cast to bf16 is lossless
+        slab = jnp.einsum(
+            "rph,rhw->rpw", row_sel, padded2, preferred_element_type=jnp.float32
+        )  # [rows, P, halves*pw]
+        slab = slab.astype(jnp.bfloat16).reshape(rows, patch * halves, pw)
+        # stage 2: column selection per half, then recombine hi + lo
+        patches2 = jnp.einsum(
+            "rpw,rqw->rpq", slab, col_sel, preferred_element_type=jnp.float32
+        ).reshape(rows, patch, halves, patch)
+        patches = jnp.sum(patches2, axis=2)  # [rows, P(y), P(x)]
 
         blended = (
             (1.0 - fy) * (1.0 - fx) * patches[:, :-1, :-1]

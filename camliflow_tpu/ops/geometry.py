@@ -61,13 +61,19 @@ def k_nearest_neighbor(input_xyz: jax.Array, query_xyz: jax.Array, k: int) -> ja
     topk(largest=False)). Both selection paths break ties by smallest index,
     matching the PyTorch fallback.
 
-    TPU note: small-k selections route to a Pallas kernel (tiled distance
-    matmul + k argmin/mask passes in VMEM), which beats lax.top_k's sort for
-    k <= 8; larger k uses the dense matrix + top_k.
+    TPU note: selections route to a Pallas kernel (tiled distance matmul +
+    k min/mask passes over a VMEM scratch) whenever the distance tile fits
+    VMEM — ~8x faster than the hierarchical lax.top_k path on the encoder's
+    [2, 4096, 8192] k=16 query; the dense matrix + top_k is the fallback.
     """
-    if k <= 8 and _on_tpu():
-        from .pallas_knn import k_nearest_neighbor_pallas
+    from .pallas_knn import MAX_K, MAX_SUPPORT, k_nearest_neighbor_pallas
 
+    if (
+        _on_tpu()
+        and k <= MAX_K
+        and input_xyz.shape[1] <= MAX_SUPPORT
+        and k <= input_xyz.shape[1]
+    ):
         return k_nearest_neighbor_pallas(input_xyz, query_xyz, k)
     dists = squared_distance(query_xyz, input_xyz)  # [B, N, M]
     return knn_from_dists(dists, k)

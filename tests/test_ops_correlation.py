@@ -113,3 +113,20 @@ def test_corr_lookup_matches_torch(rng):
     )
     assert got.shape == want.shape == (1, 8, 8, 3 * 25)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_corr_lookup_fast_path_close_to_exact(rng):
+    # split=False (bf16 hi-only fast-inference volume) must track the exact
+    # hi/lo path within bf16 resolution (~2^-9 relative on corr values)
+    f1 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    f2 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    flow = rng.uniform(-3, 3, size=(1, 8, 8, 2)).astype(np.float32)
+    coords = np.asarray(ops.mesh_grid(1, 8, 8)) + flow
+
+    pyr = ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3)
+    exact = np.asarray(ops.corr_lookup_2d(pyr, jnp.asarray(coords), radius=2))
+    fast = np.asarray(
+        ops.corr_lookup_2d(pyr, jnp.asarray(coords), radius=2, split=False)
+    )
+    scale = np.abs(exact).max()
+    np.testing.assert_allclose(fast, exact, atol=scale * 2.0**-8)

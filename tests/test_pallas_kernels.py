@@ -22,6 +22,21 @@ def test_pallas_knn_matches_xla(rng):
     )
 
 
+def test_pallas_knn_large_k(rng):
+    # encoder-sized selection: k=16 and k=32 over a wide support set
+    pts = jnp.asarray(rng.randn(1, 640, 3).astype(np.float32))
+    q = jnp.asarray(rng.randn(1, 200, 3).astype(np.float32))
+    d = np.asarray(ops.squared_distance(q, pts))
+    for k in (16, 32):
+        ref = np.asarray(ops.k_nearest_neighbor(pts, q, k))
+        got = np.asarray(k_nearest_neighbor_pallas(pts, q, k, interpret=True))
+        np.testing.assert_allclose(
+            np.take_along_axis(d, got, -1),
+            np.take_along_axis(d, ref, -1),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
 def test_pallas_knn_2d(rng):
     pts = jnp.asarray(rng.rand(1, 200, 2).astype(np.float32) * 50)
     q = jnp.asarray(rng.rand(1, 260, 2).astype(np.float32) * 50)
