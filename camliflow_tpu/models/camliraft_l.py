@@ -23,6 +23,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.geometry import (
     backwarp_3d,
@@ -132,22 +133,27 @@ class Correlation3D(nn.Module):
         train: bool = False,
         fast: bool = False,
     ) -> jax.Array:
-        """`fast=True` routes the selection through the fused Pallas kernel
-        (inference only — the kernel has no VJP); both paths produce the same
+        """`fast=True` routes the selection through the prefix-level Pallas
+        KNN kernel (inference only — no VJP); both paths produce the same
         [B, N, L*k, 4] (rel_xyz || cost) tensor for the shared MLP tail."""
         n_levels = len(level_sizes)
         if fast:
-            from ..ops.pallas_corr3d import correlation3d_select_pallas
+            from ..ops.pallas_corr3d import correlation3d_knn_pallas
 
-            payload = correlation3d_select_pallas(
-                xyz1,
-                xyz2_warp_full,
-                jnp.concatenate(pyramid, axis=-1),
-                tuple(level_sizes),
-                k=self.k,
-            )  # [B, N, L*k, 4]
+            idx_cat = correlation3d_knn_pallas(
+                xyz1, xyz2_warp_full, tuple(level_sizes), k=self.k
+            )  # [B, N, L*k]
         else:
-            payload = self._select_xla(xyz1, xyz2_warp_full, level_sizes, pyramid)
+            from ..ops.geometry import knn_from_dists, squared_distance
+
+            dists = squared_distance(xyz1, xyz2_warp_full)  # [B, N, M0]
+            idx_cat = jnp.concatenate(
+                [knn_from_dists(dists[:, :, :m_l], k=self.k) for m_l in level_sizes],
+                axis=-1,
+            )
+        payload = self._gather_payload(
+            xyz1, xyz2_warp_full, level_sizes, pyramid, idx_cat
+        )
 
         cost_mlp = MLP(
             [self.out_channels // 4, self.out_channels // 4],
@@ -161,32 +167,22 @@ class Correlation3D(nn.Module):
         merged = costs.reshape(batch, n_points, -1)
         return DenseNormAct(self.out_channels, name="merge")(merged, train=train)
 
-    def _select_xla(self, xyz1, xyz2_warp_full, level_sizes, pyramid):
-        """Differentiable XLA selection path (training / non-TPU)."""
-        from ..ops.geometry import knn_from_dists, squared_distance
+    def _gather_payload(self, xyz1, xyz2_warp_full, level_sizes, pyramid, idx_cat):
+        """(rel_xyz || cost) payload from concatenated per-level indices.
 
-        dists = squared_distance(xyz1, xyz2_warp_full)  # [B, N, M0]
-
-        # select per level, then batch every gather across levels:
-        # neighbours all index the same warped cloud, and the per-level cost
-        # volumes concatenate along columns with index offsets, so 8 gathers
-        # collapse into 2 (the MLP is level-shared, matching the reference's
-        # cost_mlp, camliraft_l_core.py:45,92-95)
-        idx_levels = [
-            knn_from_dists(dists[:, :, :m_l], k=self.k) for m_l in level_sizes
-        ]
-        idx_cat = jnp.concatenate(idx_levels, axis=-1)  # [B, N, L*k]
-
+        Neighbours all index the same warped cloud, and the per-level cost
+        volumes concatenate along columns with index offsets, so 8 gathers
+        collapse into 2 (the MLP is level-shared, matching the reference's
+        cost_mlp, camliraft_l_core.py:45,92-95).
+        """
         knn_xyz2 = gather_points(xyz2_warp_full, idx_cat)  # [B, N, L*k, 3]
         knn_xyz2_norm = knn_xyz2 - xyz1[:, :, None, :]
 
-        offsets = [0]
-        for m_l in level_sizes[:-1]:
-            offsets.append(offsets[-1] + m_l)
+        offsets = np.repeat(
+            np.cumsum([0] + list(level_sizes[:-1])), self.k
+        ).astype(np.int32)
         cv_cat = jnp.concatenate(pyramid, axis=-1)  # [B, N, sum(M_l)]
-        idx_off = jnp.concatenate(
-            [idx + off for idx, off in zip(idx_levels, offsets)], axis=-1
-        )
+        idx_off = idx_cat + jnp.asarray(offsets[None, None, :])
         knn_corr = jnp.take_along_axis(cv_cat, idx_off, axis=2)[..., None]
         return jnp.concatenate(
             [knn_xyz2_norm.astype(jnp.float32), knn_corr], axis=-1

@@ -270,6 +270,84 @@ def group_loop3d():
     time_scan("clfm_motion (128,128)", cm_step, (f2d_128, f3d_128), cm_consts)
 
 
+def group_loopfull():
+    """One full CamLiRAFT fused iteration (2D + 3D + CLFM), as in the model."""
+    from camliflow_tpu.models.camliraft import FusedUpdateBlock
+    from camliflow_tpu.nn.clfm import fusion_interp_cache
+    from camliflow_tpu.ops.correlation import pad_pyramid_for_lookup
+    from camliflow_tpu.ops.geometry import k_nearest_neighbor
+    from camliflow_tpu.ops.image import mesh_grid
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    raw = [
+        jnp.asarray(rng.randn(HW, h, w, 1).astype(np.float32))
+        for (h, w) in LEVELS_2D
+    ]
+    xyz1 = jnp.asarray(rng.randn(1, N3D, 3).astype(np.float32))
+    xyzs2 = [
+        jnp.asarray(rng.randn(1, m, 3).astype(np.float32))
+        for m in LEVEL_SIZES_3D
+    ]
+    pyramid_3d = [
+        jnp.asarray(rng.randn(1, N3D, m).astype(np.float32))
+        for m in LEVEL_SIZES_3D
+    ]
+    uv1 = jnp.stack(
+        [
+            jnp.asarray(rng.uniform(0, W8 - 1, (1, N3D)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, H8 - 1, (1, N3D)).astype(np.float32)),
+        ],
+        axis=-1,
+    )
+    pc1 = jnp.asarray(rng.randn(1, 8192, 3).astype(np.float32))
+    knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
+    up_idx = k_nearest_neighbor(xyz1, pc1, k=3)
+
+    for fast in (False, True):
+        block = FusedUpdateBlock(
+            upsample_each=False, fast_inference=fast, name="update"
+        )
+        consts = {
+            "xyz1": xyz1,
+            "xyzs2": xyzs2,
+            "uv1": uv1,
+            "grid": mesh_grid(1, H8, W8),
+            "x_2d": jnp.asarray(rng.randn(1, H8, W8, 128).astype(np.float32)),
+            "x_3d": jnp.asarray(rng.randn(1, N3D, 128).astype(np.float32)),
+            "pyramid_2d": jax.jit(
+                lambda p: pad_pyramid_for_lookup(p, split=not fast)
+            )(raw),
+            "pyramid_3d": pyramid_3d,
+            "knn_indices": knn_indices,
+            "up_idx": up_idx,
+            "up_weights": jnp.full((1, 8192, 3), 1.0 / 3),
+            "interp_cache_uv1": fusion_interp_cache(uv1, H8, W8),
+        }
+        h2 = jnp.asarray(rng.randn(1, H8, W8, 128).astype(np.float32))
+        h3 = jnp.asarray(rng.randn(1, N3D, 128).astype(np.float32))
+        carry0 = (
+            h2,
+            h3,
+            jnp.zeros((1, H8, W8, 2)),
+            jnp.zeros((1, N3D, 3)),
+        )
+        variables = block.init(key, carry0, consts)
+        consts["dw"] = block.apply(
+            variables, xyz1, knn_indices, method=block.precompute
+        )
+
+        def step(c, k):
+            return block.apply(k["vars"], c, k["consts"])[0]
+
+        time_scan(
+            f"fused update block (fast={fast})",
+            step,
+            carry0,
+            {"vars": variables, "consts": consts},
+        )
+
+
 def group_fixed():
     from camliflow_tpu.models.raft import ConvexUpsampler2D
     from camliflow_tpu.nn.clfm import fusion_interp_cache
