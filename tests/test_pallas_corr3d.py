@@ -30,8 +30,10 @@ def _make_case(rng, batch=2, n=96, level_sizes=(128, 64, 32, 16), dim=16):
 def test_selection_matches_xla_path(rng, k):
     xyz1, xyz2, level_sizes, _ = _make_case(rng)
 
-    got = correlation3d_knn_pallas(
-        xyz1, xyz2, tuple(level_sizes), k=k, interpret=True
+    _, _, _, pyramid = _make_case(rng)
+    cv = jnp.concatenate(pyramid, axis=-1)
+    got_idx, got_cost = correlation3d_knn_pallas(
+        xyz1, xyz2, cv, tuple(level_sizes), k=k, interpret=True
     )
     dists = np.asarray(squared_distance(xyz1, xyz2))
     want = np.concatenate(
@@ -39,7 +41,8 @@ def test_selection_matches_xla_path(rng, k):
         axis=-1,
     )
     # selected distances must agree exactly (indices may differ on exact ties)
-    got_np = np.asarray(got)
+    got_np = np.asarray(got_idx)
+    offsets = np.repeat(np.cumsum([0] + list(level_sizes[:-1])), k)
     for lvl, m in enumerate(level_sizes):
         sl = slice(lvl * k, (lvl + 1) * k)
         np.testing.assert_allclose(
@@ -48,6 +51,13 @@ def test_selection_matches_xla_path(rng, k):
             rtol=1e-5,
             atol=1e-6,
         )
+    # in-kernel extracted costs must equal a direct lookup at the indices
+    np.testing.assert_allclose(
+        np.asarray(got_cost),
+        np.take_along_axis(np.asarray(cv), got_np + offsets[None, None, :], -1),
+        rtol=1e-6,
+        atol=1e-7,
+    )
 
 
 def test_module_fast_path_matches(rng):
@@ -86,6 +96,10 @@ def test_padding_and_odd_sizes(rng):
     xyz2 = jnp.asarray(rng.randn(1, 48, 3).astype(np.float32))
     level_sizes = (48, 24)
 
-    got = correlation3d_knn_pallas(xyz1, xyz2, level_sizes, k=3, interpret=True)
-    assert got.shape == (1, 77, 6)
-    assert int(np.asarray(got).max()) < 48
+    pyr = jnp.asarray(rng.randn(1, 77, 72).astype(np.float32))
+    got_idx, got_cost = correlation3d_knn_pallas(
+        xyz1, xyz2, pyr, level_sizes, k=3, interpret=True
+    )
+    assert got_idx.shape == (1, 77, 6)
+    assert got_cost.shape == (1, 77, 6)
+    assert int(np.asarray(got_idx).max()) < 48

@@ -180,3 +180,70 @@ def test_camliraft_l_core_forward_parity(rng):
     scale = np.abs(ref_final).max()
     assert err.max() <= 1e-3 * max(scale, 1.0), (err.max(), scale)
     np.testing.assert_allclose(flow, ref_final, rtol=5e-3, atol=5e-5)
+
+
+def test_camlipwc_l_forward_parity(rng):
+    import torch
+
+    _load_reference()
+    import models.camlipwc_l as ref_mod
+
+    from camliflow_tpu.models import camlipwc_l as m
+    from camliflow_tpu.utils.config import Config
+
+    torch.manual_seed(0)
+    ref_cfgs = SimpleNamespace(
+        ids=SimpleNamespace(enabled=False),
+        norm=SimpleNamespace(
+            feature_pyramid="batch_norm", correlation=None, flow_estimator=None
+        ),
+    )
+    ref_model = ref_mod.CamLiPWC_L(ref_cfgs).eval()
+
+    batch, n_points = 1, 5000
+    pc1 = rng.randn(batch, n_points, 3).astype(np.float32)
+    pc1[..., 2] = np.abs(pc1[..., 2]) * 10 + 5
+    pc2 = pc1 + 0.05 * rng.randn(batch, n_points, 3).astype(np.float32)
+    intrinsics = np.tile([100.0, 50.0, 50.0], (batch, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            {
+                "pcs": torch.from_numpy(
+                    np.concatenate([pc1, pc2], axis=-1).transpose(0, 2, 1)
+                ),
+                "intrinsics": torch.from_numpy(intrinsics),
+            }
+        )
+    ref_flow = ref_out["flow_3d"].numpy().transpose(0, 2, 1)  # [B, N, 3]
+
+    cfgs = Config(
+        {
+            "name": "camlipwc_l",
+            "ids": {"enabled": False},
+            "norm": {"feature_pyramid": "batch_norm", "flow_estimator": None},
+            "loss": {"level_weights": [8, 4, 2, 1, 0.5], "order": "l2-norm"},
+        }
+    )
+    inputs = {
+        "pcs": jnp.asarray(np.concatenate([pc1, pc2], axis=-1)),
+        "intrinsics": jnp.asarray(intrinsics),
+    }
+    model = m.CamLiPWCL(cfgs=cfgs.to_dict(), train_mode=False)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    variables = jax.tree.map(np.asarray, variables)
+
+    state_dict = {f"core.{k}": v for k, v in ref_model.core.state_dict().items()}
+    variables = _port(state_dict, "camlipwc_l", variables)
+
+    out = model.apply(variables, inputs)
+    flow = np.asarray(out["flow_3d"])
+
+    # five decode levels of KNN-interpolated refinement across two frameworks:
+    # near-tie neighbour selections may flip on f32 reassociation, so allow a
+    # 0.1% element tail while bounding the worst case at 1e-3 of the scale
+    err = np.abs(flow - ref_flow)
+    scale = np.abs(ref_flow).max()
+    assert err.max() <= 1e-3 * max(scale, 1.0), (err.max(), scale)
+    close = np.isclose(flow, ref_flow, rtol=5e-3, atol=5e-5)
+    assert close.mean() >= 0.999, close.mean()
