@@ -208,6 +208,10 @@ class CamLiRAFTCore(nn.Module):
     # eval-time: upsample only the final iteration's flows (kept separate from
     # `train`, which freeze_bn masks)
     final_only: bool = False
+    # profiling hook (tools/profile_components.py): truncate the forward after
+    # a stage — "encode" (pyramids + encoders + fusion) or "volumes" (+ cost
+    # volumes, KNN, caches, hoisted weights). Production callers leave "full".
+    profile_stage: str = "full"
 
     @nn.compact
     def __call__(self, image1, image2, pc1, pc2, camera_info, train: bool = False):
@@ -287,6 +291,9 @@ class CamLiRAFTCore(nn.Module):
                 128, 128, norm="batch_norm", name="clfm_cnet"
             )(uv1, featc_2d, featc_3d, train=train, interp_cache=cache_uv1)
 
+        if self.profile_stage == "encode":
+            return feat1_2d + feat2_2d + featc_2d, feat1_3d + feat2_3d + featc_3d
+
         # init hidden states
         featc_2d = dense(256, name="cnet_aligner_2d")(featc_2d)
         h_2d, x_2d = jnp.split(featc_2d, 2, axis=-1)
@@ -354,6 +361,13 @@ class CamLiRAFTCore(nn.Module):
         }
         # hoist loop-invariant PointConvDW geometric weights out of the scan
         consts["dw"] = update.precompute(xyz1, knn_indices, train=train)
+        if self.profile_stage == "volumes":
+            # consume every const fully so XLA cannot dead-code any of the
+            # volume/cache construction
+            total = h_2d.sum() + h_3d.sum() + x_2d.sum() + x_3d.sum()
+            for leaf in jax.tree_util.tree_leaves(consts):
+                total = total + leaf.astype(jnp.float32).sum()
+            return total, h_3d.sum()
         scan = nn.scan(
             lambda mdl, carry, c: mdl(carry, c),
             variable_broadcast="params",
@@ -365,6 +379,9 @@ class CamLiRAFTCore(nn.Module):
         )
         carry0 = (h_2d, h_3d, jnp.zeros_like(grid), jnp.zeros_like(xyz1, jnp.float32))
         carry, (flow_2d_seq, flow_3d_seq) = scan(update, carry0, consts)
+        if self.profile_stage == "loop":
+            h_2d_f, _, flow_2d_f, flow_3d_f = carry
+            return flow_2d_f.sum() + h_2d_f.sum(), flow_3d_f.sum()
         if self.final_only:
             h_2d_f, _, flow_2d_f, flow_3d_f = carry
             flow_2d_up, flow_3d_up = update.upsample(
