@@ -353,7 +353,8 @@ class CamLiRAFTCore(nn.Module):
             "x_2d": x_2d,
             "x_3d": x_3d,
             "pyramid_2d": pyramid_2d,
-            "pyramid_3d": pyramid_3d,
+            # concatenated once here — the scan body must not rebuild it
+            "pyramid_3d": jnp.concatenate(pyramid_3d, axis=-1),
             "knn_indices": knn_indices,
             "up_idx": up_idx,
             "up_weights": up_weights,

@@ -129,13 +129,19 @@ class Correlation3D(nn.Module):
         xyz1: jax.Array,
         xyz2_warp_full: jax.Array,
         level_sizes: tuple[int, ...],
-        pyramid: list[jax.Array],
+        pyramid: list[jax.Array] | jax.Array,
         train: bool = False,
         fast: bool = False,
     ) -> jax.Array:
         """`fast=True` routes the selection through the prefix-level Pallas
         KNN kernel (inference only — no VJP); both paths produce the same
-        [B, N, L*k, 4] (rel_xyz || cost) tensor for the shared MLP tail."""
+        [B, N, L*k, 4] (rel_xyz || cost) tensor for the shared MLP tail.
+
+        `pyramid` may be the per-level list or the pre-concatenated
+        [B, N, sum(level_sizes)] array — refinement loops should concatenate
+        ONCE outside the scan (the in-loop concat costs ~63 MB/iter)."""
+        if isinstance(pyramid, (list, tuple)):
+            pyramid = jnp.concatenate(pyramid, axis=-1)
         n_levels = len(level_sizes)
         if fast:
             from ..ops.pallas_corr3d import correlation3d_knn_pallas
@@ -144,11 +150,7 @@ class Correlation3D(nn.Module):
             # selection mask; an XLA take_along_axis here is 131K
             # single-float gathers at ~1.5 ms/iter)
             idx_cat, knn_cost = correlation3d_knn_pallas(
-                xyz1,
-                xyz2_warp_full,
-                jnp.concatenate(pyramid, axis=-1),
-                tuple(level_sizes),
-                k=self.k,
+                xyz1, xyz2_warp_full, pyramid, tuple(level_sizes), k=self.k
             )  # [B, N, L*k] each
         else:
             from ..ops.geometry import knn_from_dists, squared_distance
@@ -161,9 +163,8 @@ class Correlation3D(nn.Module):
             offsets = np.repeat(
                 np.cumsum([0] + list(level_sizes[:-1])), self.k
             ).astype(np.int32)
-            cv_cat = jnp.concatenate(pyramid, axis=-1)  # [B, N, sum(M_l)]
             knn_cost = jnp.take_along_axis(
-                cv_cat, idx_cat + jnp.asarray(offsets[None, None, :]), axis=2
+                pyramid, idx_cat + jnp.asarray(offsets[None, None, :]), axis=2
             )
         knn_xyz2 = gather_points(xyz2_warp_full, idx_cat)  # [B, N, L*k, 3]
         payload = jnp.concatenate(
@@ -430,7 +431,8 @@ class CamLiRAFTLCore(nn.Module):
         consts = {
             "xyz1": xyz1,
             "xyzs2": xyzs2,
-            "pyramid": pyramid,
+            # concatenated once here — the scan body must not rebuild it
+            "pyramid": jnp.concatenate(pyramid, axis=-1),
             "knn_indices": knn_indices,
             "x": x,
         }

@@ -114,14 +114,15 @@ def pad_pyramid_for_lookup(
     iteration; hoisting the (hundreds of MB) pad writes out of the refinement
     scan saves that HBM traffic per iteration.
 
-    split=True (exact): each level becomes [rows, h+2p, 2*(w+2p)] bfloat16
-    with the padded map split into bf16 high/low halves concatenated along
-    the width axis: hi = bf16(v), lo = bf16(v - hi). The in-loop one-hot
-    selection matmuls then run as single-pass bf16 MXU ops (one-hot entries
-    are exact in bf16, and selecting then re-summing hi+lo reconstructs v to
-    ~2^-18 relative — tighter AND cheaper than 3-pass HIGH f32 matmuls).
+    split=True (exact): each level becomes [rows, w+2p, 2*(h+2p)] bfloat16
+    (w-major, see below) with the padded map split into bf16 high/low halves
+    concatenated along the h axis: hi = bf16(v), lo = bf16(v - hi). The
+    in-loop one-hot selection matmuls then run as single-pass bf16 MXU ops
+    (one-hot entries are exact in bf16, and selecting then re-summing hi+lo
+    reconstructs v to ~2^-18 relative — tighter AND cheaper than 3-pass HIGH
+    f32 matmuls).
 
-    split=False (fast inference): hi half only, [rows, h+2p, w+2p] bfloat16.
+    split=False (fast inference): hi half only, [rows, w+2p, h+2p] bfloat16.
     Halves the per-iteration HBM volume traffic and the selection-matmul
     width at ~2^-9 relative error on the looked-up correlation values
     (measured: 2.45x faster lookup, flow output delta ~1e-3 px — far inside
@@ -131,6 +132,13 @@ def pad_pyramid_for_lookup(
     out = []
     for corr in pyramid:
         padded = jnp.pad(corr[..., 0], ((0, 0), (pad, pad), (pad, pad)))
+        # store w-major ([rows, w+2p, h+2p]): the in-loop selection einsums
+        # then consume the array in its default layout. In h-major storage
+        # XLA assigns the transposed layout to the einsum operand but the
+        # scan-carried constant keeps the default one — and the mismatch
+        # materialised as a full pyramid relayout copy EVERY iteration
+        # (~320 MB/iter in the compiled while body).
+        padded = padded.transpose(0, 2, 1)
         hi = padded.astype(jnp.bfloat16)
         if not split:
             out.append(hi)
@@ -201,8 +209,9 @@ def corr_lookup_2d_padded(
     coords_flat = coords.reshape(batch * height * width, 2).astype(jnp.float32)
     out_pyramid = []
     for i, padded2 in enumerate(padded_pyramid):
-        rows, ph = padded2.shape[0], padded2.shape[1]
-        pw = padded2.shape[2] // halves  # [hi | lo] halves along width
+        # w-major storage: [rows, w+2p, halves*(h+2p)]
+        rows, pw = padded2.shape[0], padded2.shape[1]
+        ph = padded2.shape[2] // halves  # [hi | lo] halves along height
         level_h, level_w = ph - 2 * pad, pw - 2 * pad
         c = coords_flat / (2.0**i)
         # clamp far-out coords; everything at/beyond the clamp samples only
@@ -228,17 +237,18 @@ def corr_lookup_2d_padded(
         col_sel = (col_ids == start_x[:, None, None] + patch_ids).astype(
             jnp.bfloat16
         )  # [rows, P, pw]
-        # stage 1: row selection over the halves; the f32 result holds pure
-        # bf16 values (one-hot selection), so the cast to bf16 is lossless
-        slab = jnp.einsum(
-            "rph,rhw->rpw", row_sel, padded2, preferred_element_type=jnp.float32
-        )  # [rows, P, halves*pw]
-        slab = slab.astype(jnp.bfloat16).reshape(rows, patch * halves, pw)
-        # stage 2: column selection per half, then recombine hi + lo
+        # stage 1: column (x) selection over the halves; the f32 result
+        # holds pure bf16 values (one-hot selection), so the cast to bf16 is
+        # lossless
+        cslab = jnp.einsum(
+            "rqw,rwh->rqh", col_sel, padded2, preferred_element_type=jnp.float32
+        )  # [rows, Q, halves*ph]
+        cslab = cslab.astype(jnp.bfloat16).reshape(rows, patch * halves, ph)
+        # stage 2: row (y) selection per half, then recombine hi + lo
         patches2 = jnp.einsum(
-            "rpw,rqw->rpq", slab, col_sel, preferred_element_type=jnp.float32
-        ).reshape(rows, patch, halves, patch)
-        patches = jnp.sum(patches2, axis=2)  # [rows, P(y), P(x)]
+            "rph,rth->rpt", row_sel, cslab, preferred_element_type=jnp.float32
+        ).reshape(rows, patch, patch, halves)
+        patches = jnp.sum(patches2, axis=3)  # [rows, P(y), P(x)]
 
         blended = (
             (1.0 - fy) * (1.0 - fx) * patches[:, :-1, :-1]
