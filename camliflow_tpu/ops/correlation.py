@@ -173,8 +173,8 @@ def corr_lookup_2d_padded(
     """Bilinear windowed lookup into the pre-padded all-pairs pyramid.
 
     Args:
-      padded_pyramid: output of `pad_pyramid_for_lookup` ([rows, h+2p, w+2p]
-        per level, p = 2*radius + 4).
+      padded_pyramid: output of `pad_pyramid_for_lookup` (w-major bf16,
+        [rows, w+2p, halves*(h+2p)] per level, p = 2*radius + 2).
       coords: [B, H, W, 2] target pixel coordinates in frame 2 (grid + flow).
       radius: window radius r; each level contributes (2r+1)^2 channels.
     Returns:
