@@ -22,6 +22,12 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: takes >2 min; deselect with -m 'not slow'"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

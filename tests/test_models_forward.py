@@ -46,6 +46,7 @@ def run_model(module, loss_fn, cfgs, inputs, train=False):
     return out, float(loss), metrics
 
 
+@pytest.mark.slow
 def test_camlipwc_full_fusion(rng):
     cfgs = Config(
         {

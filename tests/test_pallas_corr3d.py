@@ -28,9 +28,7 @@ def _make_case(rng, batch=2, n=96, level_sizes=(128, 64, 32, 16), dim=16):
 
 @pytest.mark.parametrize("k", [4, 16])
 def test_selection_matches_xla_path(rng, k):
-    xyz1, xyz2, level_sizes, _ = _make_case(rng)
-
-    _, _, _, pyramid = _make_case(rng)
+    xyz1, xyz2, level_sizes, pyramid = _make_case(rng)
     cv = jnp.concatenate(pyramid, axis=-1)
     got_idx, got_cost = correlation3d_knn_pallas(
         xyz1, xyz2, cv, tuple(level_sizes), k=k, interpret=True

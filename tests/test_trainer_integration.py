@@ -85,6 +85,7 @@ def make_cfgs(root, log_dir, epochs=2, resume=False):
     )
 
 
+@pytest.mark.slow
 def test_train_checkpoints_and_resume(synth_root, tmp_path):
     from camliflow_tpu.runtime.trainer import Trainer
 

@@ -32,7 +32,6 @@ HW = H8 * W8
 N3D = 2048  # xyz1 level
 LEVELS_2D = [(68, 120), (34, 60), (17, 30), (8, 15)]
 LEVEL_SIZES_3D = (2048, 1024, 512, 256)
-PAD = 12  # pad_pyramid_for_lookup: 2*radius + 4
 
 
 def fetch(tree):
