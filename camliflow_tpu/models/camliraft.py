@@ -83,6 +83,8 @@ class FusedUpdateBlock(nn.Module):
     upsample_each: bool = True
     # route Correlation3D through the fused Pallas kernel (forward-only)
     fast_inference: bool = False
+    # correlation-volume storage for the 2D lookup (pad_pyramid_for_lookup)
+    lookup_storage: str = "split"
 
     def setup(self):
         self.correlation_3d = Correlation3D(out_channels=128, k=16)
@@ -101,8 +103,9 @@ class FusedUpdateBlock(nn.Module):
         self.convex_upsampler = ConvexUpsampler2D()
 
     def precompute(self, xyz1, knn_indices, train: bool = False):
-        """Loop-invariant PointConvDW weights for the 3D submodules."""
-        return {
+        """Loop-invariant PointConvDW weights for the 3D submodules (stored
+        bfloat16 on the fast path — see UpdateBlock3D.precompute)."""
+        dw = {
             "motion_encoder": self.motion_encoder_3d.precompute_weights(
                 xyz1, knn_indices, train=train
             ),
@@ -111,6 +114,9 @@ class FusedUpdateBlock(nn.Module):
                 xyz1, knn_indices, train=train
             ),
         }
+        if self.fast_inference:
+            dw = jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), dw)
+        return dw
 
     def upsample(self, h_2d, flow_2d, flow_3d, consts):
         flow_2d_up = self.convex_upsampler(h_2d, flow_2d)
@@ -136,10 +142,10 @@ class FusedUpdateBlock(nn.Module):
         )
         level_sizes = tuple(x.shape[1] for x in xyzs2)
 
-        # correlation lookups (fast inference: bf16 hi-only volume)
+        # correlation lookups (fast inference: int8 volume)
         corr_2d = corr_lookup_2d_padded(
             consts["pyramid_2d"], consts["grid"] + flow_2d, radius=self.corr_radius,
-            split=not self.fast_inference,
+            storage=self.lookup_storage,
         )
         corr_3d = self.correlation_3d(
             xyz1, xyz2_warp_full, level_sizes, consts["pyramid_3d"],
@@ -154,7 +160,8 @@ class FusedUpdateBlock(nn.Module):
         # motion features
         motion_2d = self.motion_encoder_2d(flow_2d, corr_2d)
         motion_3d = self.motion_encoder_3d(
-            xyz1, flow_3d, corr_3d, knn_indices, dw=dw.get("motion_encoder")
+            xyz1, flow_3d, corr_3d, knn_indices, dw=dw.get("motion_encoder"),
+            fast=self.fast_inference,
         )
         if self.fuse_motion:
             motion_2d, motion_3d = self.clfm_motion(
@@ -171,6 +178,7 @@ class FusedUpdateBlock(nn.Module):
             jnp.concatenate([consts["x_3d"], motion_3d], axis=-1),
             knn_indices,
             dw=dw.get("gru"),
+            fast=self.fast_inference,
         )
         if self.fuse_hidden:
             h_2d, h_3d = self.clfm_hidden(
@@ -182,7 +190,8 @@ class FusedUpdateBlock(nn.Module):
         flow_2d = flow_2d + delta_2d
 
         delta_3d = self.flow_head_3d(
-            xyz1, h_3d, knn_indices, dw=dw.get("flow_head")
+            xyz1, h_3d, knn_indices, dw=dw.get("flow_head"),
+            fast=self.fast_inference,
         )
         flow_3d = flow_3d + delta_3d.astype(jnp.float32)
 
@@ -208,6 +217,10 @@ class CamLiRAFTCore(nn.Module):
     # eval-time: upsample only the final iteration's flows (kept separate from
     # `train`, which freeze_bn masks)
     final_only: bool = False
+    # approximate fast path: auto|on|off (ops.geometry.resolve_fast_inference)
+    fast_inference: str = "auto"
+    # correlation-volume storage override: auto|split|bf16|int8
+    lookup_storage: str = "auto"
     # profiling hook (tools/profile_components.py): truncate the forward after
     # a stage — "encode" (pyramids + encoders + fusion) or "volumes" (+ cost
     # volumes, KNN, caches, hoisted weights). Production callers leave "full".
@@ -313,11 +326,15 @@ class CamLiRAFTCore(nn.Module):
             num_levels=4,
         )
         # pad once for the in-loop lookups (loop-invariant); the TPU eval
-        # fast path keeps only the bf16 hi half (see pad_pyramid_for_lookup)
-        from ..ops.geometry import _on_tpu
+        # fast path stores the volume int8 (see pad_pyramid_for_lookup)
+        from ..ops.geometry import resolve_fast_inference
 
-        fast = self.final_only and _on_tpu()
-        pyramid_2d = pad_pyramid_for_lookup(pyramid_2d, split=not fast)
+        fast = resolve_fast_inference(self.fast_inference, self.final_only)
+        storage = (
+            self.lookup_storage if self.lookup_storage != "auto"
+            else ("int8" if fast else "split")
+        )
+        pyramid_2d = pad_pyramid_for_lookup(pyramid_2d, storage=storage)
         pyramid_3d = build_cost_volume_pyramid_3d(feat1_3d, feat2_3d, xyzs2)
 
         knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
@@ -343,6 +360,7 @@ class CamLiRAFTCore(nn.Module):
             fuse_hidden=self.fuse_hidden,
             upsample_each=not self.final_only,
             fast_inference=fast,
+            lookup_storage=storage,
             name="update",
         )
         consts = {
@@ -448,6 +466,8 @@ class CamLiRAFT(nn.Module):
                 fuse_hidden=bool(self.cfgs["fuse_hidden"]),
                 n_samples_list=n_samples,
                 final_only=not self.train_mode,
+                fast_inference=str(self.cfgs.get("fast_inference", "auto")),
+                lookup_storage=str(self.cfgs.get("lookup_storage", "auto")),
                 name="core",
             )(image1, image2, pc1, pc2, paral_cam, train=train)
 

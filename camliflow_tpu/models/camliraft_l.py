@@ -34,7 +34,7 @@ from ..ops.geometry import (
 )
 from ..ops.ids import make_parallel_camera_info, paral2persp, persp2paral
 from ..nn.layers import MLP, DenseNormAct, dense
-from ..nn.point_conv import PointConv, PointConvDW
+from ..nn.point_conv import PointConv, PointConvDW, paired_dw_conv
 from .losses import calc_sequence_loss
 from .metrics import compute_3d_metrics, merge_metrics, scalar_metric
 
@@ -211,21 +211,24 @@ class MotionEncoder3D(nn.Module):
             for name in ("conv_c1", "conv_f1", "conv_f2", "conv")
         }
 
-    def __call__(self, xyz, flow, corr, knn_indices, train: bool = False, dw=None):
+    def __call__(
+        self, xyz, flow, corr, knn_indices, train: bool = False, dw=None,
+        fast: bool = False,
+    ):
         dw = dw or {}
         corr = corr.astype(jnp.float32)
         flow = flow.astype(jnp.float32)
         corr_feat = self.conv_c1(
             xyz, corr, knn_indices=knn_indices, train=train,
-            weights=dw.get("conv_c1"),
+            weights=dw.get("conv_c1"), fast=fast,
         )
         flow_feat = self.conv_f1(
             xyz, flow, knn_indices=knn_indices, train=train,
-            weights=dw.get("conv_f1"),
+            weights=dw.get("conv_f1"), fast=fast,
         )
         flow_feat = self.conv_f2(
             xyz, flow_feat, knn_indices=knn_indices, train=train,
-            weights=dw.get("conv_f2"),
+            weights=dw.get("conv_f2"), fast=fast,
         )
         out = self.conv(
             xyz,
@@ -233,6 +236,7 @@ class MotionEncoder3D(nn.Module):
             knn_indices=knn_indices,
             train=train,
             weights=dw.get("conv"),
+            fast=fast,
         )
         return jnp.concatenate([out, flow], axis=-1)
 
@@ -248,30 +252,32 @@ class GRU3D(nn.Module):
         self.conv_q = PointConvDW(self.hidden_dim, act=None, k=4)
 
     def precompute_weights(self, xyz, knn_indices, train: bool = False):
-        return {
-            name: getattr(self, name).compute_weights(
+        # conv_z and conv_r share (input, knn): their geometric weights are
+        # pre-concatenated for the single-gather paired conv (paired_dw_conv)
+        wz, wr, wq = (
+            getattr(self, name).compute_weights(
                 xyz, knn_indices=knn_indices, train=train
             )
             for name in ("conv_z", "conv_r", "conv_q")
-        }
+        )
+        return {"conv_zr": jnp.concatenate([wz, wr], axis=-1), "conv_q": wq}
 
-    def __call__(self, xyz, h, x, knn_indices, train: bool = False, dw=None):
+    def __call__(
+        self, xyz, h, x, knn_indices, train: bool = False, dw=None,
+        fast: bool = False,
+    ):
         dw = dw or {}
         h = h.astype(jnp.float32)
         x = x.astype(jnp.float32)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(
-            self.conv_z(
-                xyz, hx, knn_indices=knn_indices, train=train,
-                weights=dw.get("conv_z"),
-            )
+        # z and r consume the same input with the same neighbours — one
+        # shared gather (bit-identical to two independent convs)
+        z_raw, r_raw = paired_dw_conv(
+            self.conv_z, self.conv_r, xyz, hx, knn_indices=knn_indices,
+            weights=dw.get("conv_zr"), train=train, fast=fast,
         )
-        r = nn.sigmoid(
-            self.conv_r(
-                xyz, hx, knn_indices=knn_indices, train=train,
-                weights=dw.get("conv_r"),
-            )
-        )
+        z = nn.sigmoid(z_raw)
+        r = nn.sigmoid(r_raw)
         q = nn.tanh(
             self.conv_q(
                 xyz,
@@ -279,6 +285,7 @@ class GRU3D(nn.Module):
                 knn_indices=knn_indices,
                 train=train,
                 weights=dw.get("conv_q"),
+                fast=fast,
             )
         )
         return (1.0 - z) * h + z * q
@@ -300,16 +307,19 @@ class FlowHead3D(nn.Module):
             for name in ("conv1", "conv2")
         }
 
-    def __call__(self, xyz, features, knn_indices, train: bool = False, dw=None):
+    def __call__(
+        self, xyz, features, knn_indices, train: bool = False, dw=None,
+        fast: bool = False,
+    ):
         dw = dw or {}
         features = features.astype(jnp.float32)
         features = self.conv1(
             xyz, features, knn_indices=knn_indices, train=train,
-            weights=dw.get("conv1"),
+            weights=dw.get("conv1"), fast=fast,
         )
         features = self.conv2(
             xyz, features, knn_indices=knn_indices, train=train,
-            weights=dw.get("conv2"),
+            weights=dw.get("conv2"), fast=fast,
         )
         return self.fc(features)
 
@@ -335,8 +345,12 @@ class UpdateBlock3D(nn.Module):
         self.flow_head = FlowHead3D()
 
     def precompute(self, xyz1, knn_indices, train: bool = False):
-        """Loop-invariant PointConvDW weights for all submodules."""
-        return {
+        """Loop-invariant PointConvDW weights for all submodules.
+
+        On the fast path the hoisted weights are stored bfloat16 — they are
+        re-read from HBM every iteration, and the in-loop multiply runs in
+        bf16 anyway (PointConvDW fast=True)."""
+        dw = {
             "motion_encoder": self.motion_encoder.precompute_weights(
                 xyz1, knn_indices, train=train
             ),
@@ -345,6 +359,11 @@ class UpdateBlock3D(nn.Module):
                 xyz1, knn_indices, train=train
             ),
         }
+        if self.fast_inference:
+            dw = jax.tree_util.tree_map(
+                lambda w: w.astype(jnp.bfloat16), dw
+            )
+        return dw
 
     def __call__(self, carry, consts, train: bool = False):
         h, flow = carry
@@ -366,7 +385,7 @@ class UpdateBlock3D(nn.Module):
         )
         motion = self.motion_encoder(
             xyz1, flow, corr, consts["knn_indices"], train=train,
-            dw=dw.get("motion_encoder"),
+            dw=dw.get("motion_encoder"), fast=self.fast_inference,
         )
         h = self.gru(
             xyz1,
@@ -375,9 +394,11 @@ class UpdateBlock3D(nn.Module):
             consts["knn_indices"],
             train=train,
             dw=dw.get("gru"),
+            fast=self.fast_inference,
         )
         delta = self.flow_head(
-            xyz1, h, consts["knn_indices"], train=train, dw=dw.get("flow_head")
+            xyz1, h, consts["knn_indices"], train=train,
+            dw=dw.get("flow_head"), fast=self.fast_inference,
         )
         flow = flow + delta.astype(jnp.float32)
         return (h, flow), flow
@@ -393,6 +414,8 @@ class CamLiRAFTLCore(nn.Module):
     # upsampling of the T-1 intermediate flows is skipped. Kept separate from
     # `train` because freeze_bn masks that flag for norm layers.
     final_only: bool = False
+    # approximate fast path: auto|on|off (ops.geometry.resolve_fast_inference)
+    fast_inference: str = "auto"
 
     @nn.compact
     def __call__(self, pc1: jax.Array, pc2: jax.Array, train: bool = False):
@@ -423,10 +446,13 @@ class CamLiRAFTLCore(nn.Module):
         x = nn.relu(x.astype(jnp.float32))
         knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
 
-        from ..ops.geometry import _on_tpu
+        from ..ops.geometry import resolve_fast_inference
 
         update = UpdateBlock3D(
-            fast_inference=self.final_only and _on_tpu(), name="update"
+            fast_inference=resolve_fast_inference(
+                self.fast_inference, self.final_only
+            ),
+            name="update",
         )
         consts = {
             "xyz1": xyz1,
@@ -521,6 +547,7 @@ class CamLiRAFTL(nn.Module):
             scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
             n_samples_list=n_samples,
             final_only=not self.train_mode,
+            fast_inference=str(self.cfgs.get("fast_inference", "auto")),
             name="core",
         )(pc1, pc2, train=train)
 

@@ -117,8 +117,9 @@ class UpdateBlock2D(nn.Module):
 
     corr_radius: int = 4
     upsample_each: bool = True
-    # bf16 hi-only correlation-volume lookup (forward-only eval path)
-    fast_inference: bool = False
+    # correlation-volume storage mode for the in-loop lookup ("split" exact,
+    # "bf16", or the int8 fast-inference path — see pad_pyramid_for_lookup)
+    lookup_storage: str = "split"
 
     def setup(self):
         self.motion_encoder = MotionEncoder2D()
@@ -134,7 +135,7 @@ class UpdateBlock2D(nn.Module):
         flow = jax.lax.stop_gradient(flow)
         corr = corr_lookup_2d_padded(
             consts["pyramid"], consts["grid"] + flow, radius=self.corr_radius,
-            split=not self.fast_inference,
+            storage=self.lookup_storage,
         )
         motion = self.motion_encoder(flow, corr)
         h = self.gru(h, jnp.concatenate([consts["x"], motion], axis=-1))
@@ -155,6 +156,10 @@ class RAFTCore(nn.Module):
     # eval-time: skip the per-iteration convex upsample and run it once on the
     # final flow (kept separate from `train`, which freeze_bn masks)
     final_only: bool = False
+    # approximate fast path: auto|on|off (ops.geometry.resolve_fast_inference)
+    fast_inference: str = "auto"
+    # correlation-volume storage override: auto|split|bf16|int8
+    lookup_storage: str = "auto"
 
     @nn.compact
     def __call__(self, image1, image2, train: bool = False):
@@ -174,11 +179,15 @@ class RAFTCore(nn.Module):
         )
 
         # pad once for the in-loop lookups (loop-invariant); the TPU eval
-        # fast path keeps only the bf16 hi half (see pad_pyramid_for_lookup)
-        from ..ops.geometry import _on_tpu
+        # fast path stores the volume int8 (see pad_pyramid_for_lookup)
+        from ..ops.geometry import resolve_fast_inference
 
-        fast = self.final_only and _on_tpu()
-        pyramid = pad_pyramid_for_lookup(pyramid, self.corr_radius, split=not fast)
+        fast = resolve_fast_inference(self.fast_inference, self.final_only)
+        storage = (
+            self.lookup_storage if self.lookup_storage != "auto"
+            else ("int8" if fast else "split")
+        )
+        pyramid = pad_pyramid_for_lookup(pyramid, self.corr_radius, storage=storage)
 
         cnet = ResNetEncoder2D(depth=self.backbone_depth, name="cnet")(
             image1, train=train
@@ -196,7 +205,7 @@ class RAFTCore(nn.Module):
         update = UpdateBlock2D(
             corr_radius=self.corr_radius,
             upsample_each=not self.final_only,
-            fast_inference=fast,
+            lookup_storage=storage,
             name="update",
         )
         scan = nn.scan(
@@ -243,6 +252,8 @@ class RAFT(nn.Module):
             scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
             backbone_depth=depth,
             final_only=not self.train_mode,
+            fast_inference=str(self.cfgs.get("fast_inference", "auto")),
+            lookup_storage=str(self.cfgs.get("lookup_storage", "auto")),
             name="core",
         )(image1, image2, train=train)
 

@@ -11,7 +11,7 @@ from .clfm import (
     fusion_interp_cache,
 )
 from .layers import MLP, Conv2dNormAct, DenseNormAct, InstanceNorm, Norm, apply_act
-from .point_conv import PointConv, PointConvDW, PointNet2
+from .point_conv import PointConv, PointConvDW, PointNet2, paired_dw_conv
 from .resnet import ResNetEncoder2D
 
 __all__ = [
@@ -29,6 +29,7 @@ __all__ = [
     "Norm",
     "PointConv",
     "PointConvDW",
+    "paired_dw_conv",
     "PointNet2",
     "ResNetEncoder2D",
     "SKFusion",

@@ -161,7 +161,12 @@ class PointConvDW(nn.Module):
         knn_indices: jax.Array | None = None,
         train: bool = False,
         weights: jax.Array | None = None,
+        fast: bool = False,
     ) -> jax.Array:
+        """`fast=True` (inference only): the per-point features are cast to
+        bfloat16 before the KNN gather, halving the gather's HBM traffic —
+        the dominant in-loop cost of the 9 refinement-scan point convs
+        (~2^-9 relative on the conv output; see PARITY.md)."""
         if weights is None:
             weights = self.compute_weights(
                 xyz, sampled_xyz, knn_indices, train=train, dtype=features.dtype
@@ -171,5 +176,62 @@ class PointConvDW(nn.Module):
         knn_indices = _resolve_knn(xyz, sampled_xyz, knn_indices, self.k)
 
         features = self.mlp(features, train=train)
+        if fast:
+            features = features.astype(jnp.bfloat16)
+            weights = weights.astype(jnp.bfloat16)
         knn_feats = gather_points(features, knn_indices)  # [B, M, k, out]
-        return jnp.max(knn_feats * weights, axis=2)  # [B, M, out]
+        out = jnp.max(knn_feats * weights, axis=2)  # [B, M, out]
+        return out.astype(jnp.float32) if fast else out
+
+
+def paired_dw_conv(
+    conv_a: PointConvDW,
+    conv_b: PointConvDW,
+    xyz: jax.Array,
+    features: jax.Array,
+    knn_indices: jax.Array | None = None,
+    weights: jax.Array | None = None,
+    train: bool = False,
+    fast: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Two PointConvDW convs over the SAME (input, knn) with ONE gather.
+
+    conv_z / conv_r in a point GRU both consume `hx` with identical neighbour
+    indices, so their feature gathers can be merged: gather the channel-concat
+    of both MLP outputs once, multiply by the channel-concat of both weight
+    tensors (`weights`, pre-concatenated by the caller's precompute so the
+    concat stays outside the refinement scan), max over k, split.
+    Bit-identical to two independent calls (the max and multiply are
+    per-channel), at half the gather op count.
+
+    Reference semantics: two sequential PointConvDWs over hx
+    (models/point_conv.py:102-130 via camliraft_l_core.py:119-134).
+    """
+    assert conv_a.k == conv_b.k
+    if weights is None:
+        weights = jnp.concatenate(
+            [
+                conv.compute_weights(
+                    xyz, knn_indices=knn_indices, train=train,
+                    dtype=features.dtype,
+                )
+                for conv in (conv_a, conv_b)
+            ],
+            axis=-1,
+        )
+    idx = _resolve_knn(xyz, xyz, knn_indices, conv_a.k)
+
+    fa = conv_a.mlp(features, train=train)
+    fb = conv_b.mlp(features, train=train)
+    ca = fa.shape[-1]
+    feats = jnp.concatenate([fa, fb], axis=-1)
+    if fast:
+        feats = feats.astype(jnp.bfloat16)
+        weights = weights.astype(jnp.bfloat16)
+    knn_feats = gather_points(feats, idx)  # [B, M, k, ca+cb]
+    out = jnp.max(knn_feats * weights, axis=2)
+    if fast:
+        out = out.astype(jnp.float32)
+    # activations live inside each conv's MLP (before the gather), so the
+    # split halves are already final
+    return out[..., :ca], out[..., ca:]

@@ -107,28 +107,37 @@ def _lookup_pad(radius: int) -> int:
 
 
 def pad_pyramid_for_lookup(
-    pyramid: list[jax.Array], radius: int = 4, split: bool = True
-) -> list[jax.Array]:
-    """Zero-pad + bfloat16 packing of each pyramid level for `corr_lookup_2d`.
+    pyramid: list[jax.Array], radius: int = 4, storage: str = "split"
+):
+    """Zero-pad + low-precision packing of each pyramid level for
+    `corr_lookup_2d`.
 
     The pyramid is constant across RAFT iterations while the lookup runs every
     iteration; hoisting the (hundreds of MB) pad writes out of the refinement
-    scan saves that HBM traffic per iteration.
+    scan saves that HBM traffic per iteration. The in-loop lookup is one-hot
+    selection matmuls, and one-hot entries are exact in ANY dtype — so the
+    storage dtype only quantises the stored values, never the selection.
 
-    split=True (exact): each level becomes [rows, w+2p, 2*(h+2p)] bfloat16
-    (w-major, see below) with the padded map split into bf16 high/low halves
-    concatenated along the h axis: hi = bf16(v), lo = bf16(v - hi). The
-    in-loop one-hot selection matmuls then run as single-pass bf16 MXU ops
-    (one-hot entries are exact in bf16, and selecting then re-summing hi+lo
-    reconstructs v to ~2^-18 relative — tighter AND cheaper than 3-pass HIGH
-    f32 matmuls).
+    storage="split" (exact, default / training): each level becomes
+    [rows, w+2p, 2*(h+2p)] bfloat16 (w-major, see below) with the padded map
+    split into bf16 high/low halves concatenated along the h axis:
+    hi = bf16(v), lo = bf16(v - hi). The in-loop selection matmuls then run as
+    single-pass bf16 MXU ops, and re-summing hi+lo reconstructs v to ~2^-18
+    relative — tighter AND cheaper than 3-pass HIGH f32 matmuls.
 
-    split=False (fast inference): hi half only, [rows, w+2p, h+2p] bfloat16.
-    Halves the per-iteration HBM volume traffic and the selection-matmul
-    width at ~2^-9 relative error on the looked-up correlation values
-    (measured: 2.45x faster lookup, flow output delta ~1e-3 px — far inside
-    the 1% EPE parity budget; see PERF.md).
+    storage="bf16": hi half only, [rows, w+2p, h+2p] bfloat16. Halves the
+    per-iteration HBM volume traffic at ~2^-9 relative error on the looked-up
+    values (measured flow output delta ~1e-3 px).
+
+    storage="int8" (fast inference): per-row symmetric int8 quantisation —
+    each level becomes ([rows, w+2p, h+2p] int8, [rows] f32 scale) with
+    scale = max|row| / 127. Quarter of f32 / half of bf16 HBM traffic; the
+    selection matmuls run on the int8 MXU path with exact s32 accumulation,
+    dequantised once per row after the bilinear blend. Max error is
+    max|row|/254 ≈ 0.4% of the row's peak correlation (forward-only:
+    quantisation has no useful gradient).
     """
+    assert storage in ("split", "bf16", "int8"), storage
     pad = _lookup_pad(radius)
     out = []
     for corr in pyramid:
@@ -140,8 +149,14 @@ def pad_pyramid_for_lookup(
         # materialised as a full pyramid relayout copy EVERY iteration
         # (~320 MB/iter in the compiled while body).
         padded = padded.transpose(0, 2, 1)
+        if storage == "int8":
+            amax = jnp.max(jnp.abs(padded), axis=(1, 2))
+            scale = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+            q = jnp.round(padded * (1.0 / scale)[:, None, None])
+            out.append((jnp.clip(q, -127, 127).astype(jnp.int8), scale))
+            continue
         hi = padded.astype(jnp.bfloat16)
-        if not split:
+        if storage == "bf16":
             out.append(hi)
             continue
         lo = (padded - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -149,10 +164,10 @@ def pad_pyramid_for_lookup(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "split"))
+@functools.partial(jax.jit, static_argnames=("radius", "storage"))
 def corr_lookup_2d(
     pyramid: list[jax.Array], coords: jax.Array, radius: int = 4,
-    split: bool = True,
+    storage: str = "split",
 ) -> jax.Array:
     """Bilinear windowed lookup into the all-pairs pyramid (pads inline).
 
@@ -161,23 +176,26 @@ def corr_lookup_2d(
     its pad writes are hundreds of MB per call at full resolution.
     """
     return corr_lookup_2d_padded(
-        pad_pyramid_for_lookup(pyramid, radius, split=split), coords, radius,
-        split=split,
+        pad_pyramid_for_lookup(pyramid, radius, storage=storage), coords,
+        radius, storage=storage,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "split"))
+@functools.partial(jax.jit, static_argnames=("radius", "storage"))
 def corr_lookup_2d_padded(
-    padded_pyramid: list[jax.Array], coords: jax.Array, radius: int = 4,
-    split: bool = True,
+    padded_pyramid: list, coords: jax.Array, radius: int = 4,
+    storage: str = "split",
 ) -> jax.Array:
     """Bilinear windowed lookup into the pre-padded all-pairs pyramid.
 
     Args:
-      padded_pyramid: output of `pad_pyramid_for_lookup` (w-major bf16,
-        [rows, w+2p, halves*(h+2p)] per level, p = 2*radius + 2).
+      padded_pyramid: output of `pad_pyramid_for_lookup` with the same
+        `storage` mode (w-major, [rows, w+2p, halves*(h+2p)] per level with
+        p = 2*radius + 2; int8 levels are ([rows, w+2p, h+2p] int8, [rows]
+        scale) pairs).
       coords: [B, H, W, 2] target pixel coordinates in frame 2 (grid + flow).
       radius: window radius r; each level contributes (2r+1)^2 channels.
+      storage: "split" | "bf16" | "int8", see `pad_pyramid_for_lookup`.
     Returns:
       [B, H, W, num_levels * (2r+1)^2] correlation features.
 
@@ -205,11 +223,16 @@ def corr_lookup_2d_padded(
     span = 2 * r + 1
     patch = 2 * r + 2
     pad = _lookup_pad(r)
-    halves = 2 if split else 1
+    halves = 2 if storage == "split" else 1
+    sel_dtype = jnp.int8 if storage == "int8" else jnp.bfloat16
+    acc_dtype = jnp.int32 if storage == "int8" else jnp.float32
 
     coords_flat = coords.reshape(batch * height * width, 2).astype(jnp.float32)
     out_pyramid = []
     for i, padded2 in enumerate(padded_pyramid):
+        scale = None
+        if storage == "int8":
+            padded2, scale = padded2
         # w-major storage: [rows, w+2p, halves*(h+2p)]
         rows, pw = padded2.shape[0], padded2.shape[1]
         ph = padded2.shape[2] // halves  # [hi | lo] halves along height
@@ -233,25 +256,26 @@ def corr_lookup_2d_padded(
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ph), 2)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pw), 2)
         row_sel = (row_ids == start_y[:, None, None] + patch_ids).astype(
-            jnp.bfloat16
+            sel_dtype
         )  # [rows, P, ph]
         col_sel = (col_ids == start_x[:, None, None] + patch_ids).astype(
-            jnp.bfloat16
+            sel_dtype
         )  # [rows, P, pw]
-        # stage 1: column (x) selection over the halves; the f32 result
-        # holds pure bf16 values (one-hot selection), so the cast to bf16 is
-        # lossless
+        # stage 1: column (x) selection over the halves. The accumulator
+        # holds pure stored values (one-hot selection), so the cast back to
+        # the storage dtype is lossless (bf16 values survive the f32
+        # accumulator; int8 values fit the s32 accumulator exactly).
         cslab = jnp.einsum(
-            "rqw,rwh->rqh", col_sel, padded2, preferred_element_type=jnp.float32
+            "rqw,rwh->rqh", col_sel, padded2, preferred_element_type=acc_dtype
         )  # [rows, Q, halves*ph]
-        cslab = cslab.astype(jnp.bfloat16).reshape(rows, patch * halves, ph)
+        cslab = cslab.astype(sel_dtype).reshape(rows, patch * halves, ph)
         # stage 2: row (y) selection per half, then recombine hi + lo.
         # Output is [rows, Q(x), P(y)] — x-major, matching the reference's
         # channel order without a final transpose.
         patches2 = jnp.einsum(
-            "rth,rph->rtp", cslab, row_sel, preferred_element_type=jnp.float32
+            "rth,rph->rtp", cslab, row_sel, preferred_element_type=acc_dtype
         ).reshape(rows, patch, halves, patch)
-        patches = jnp.sum(patches2, axis=2)  # [rows, Q(x), P(y)]
+        patches = jnp.sum(patches2, axis=2).astype(jnp.float32)
 
         blended = (
             (1.0 - fx) * (1.0 - fy) * patches[:, :-1, :-1]
@@ -259,6 +283,11 @@ def corr_lookup_2d_padded(
             + fx * (1.0 - fy) * patches[:, 1:, :-1]
             + fx * fy * patches[:, 1:, 1:]
         )  # [rows, span(x), span(y)] — x-major directly (see stage 2)
+        if scale is not None:
+            # int8 dequant: one per-row multiply AFTER the (convex) bilinear
+            # blend — equivalent to dequantising each tap, at 1/(Q*P)th the
+            # multiplies
+            blended = blended * scale[:, None, None]
         # channel k = i*span + j with i the x-offset (reference quirk);
         # stage 2 already emits x-major so no transpose (a materialised
         # [8160,10,10] relayout per level per iteration) is needed

@@ -88,6 +88,45 @@ def _on_tpu() -> bool:
     return platform not in ("cpu", "gpu")
 
 
+_FAST_LOGGED = False
+
+
+def resolve_fast_inference(mode: str, eval_final_only: bool) -> bool:
+    """Resolve the `model.fast_inference` config knob to a bool.
+
+    mode:
+      "auto" — fast path iff evaluating (final_only) on TPU (default).
+      "on"   — fast path whenever evaluating, any platform (CPU hits the
+               Pallas interpret path; mainly for tests).
+      "off"  — exact path everywhere, including TPU. This is the on-hardware
+               numerics gate: the reference eval is exact f32
+               (eval_things.py:48), and `off` lets the same be run on the
+               chip to bound the fast path's error.
+
+    The fast path is approximate (int8 correlation-volume lookup, Pallas
+    HIGHEST-precision selection) and forward-only, so it never engages during
+    training regardless of mode. Logs once when it first engages so
+    platform-dependent eval numerics are visible to callers (documented
+    envelope: flow delta ~1e-3 px, PARITY.md).
+    """
+    global _FAST_LOGGED
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"fast_inference must be auto|on|off, got {mode!r}")
+    if mode == "off" or not eval_final_only:
+        return False
+    fast = True if mode == "on" else _on_tpu()
+    if fast and not _FAST_LOGGED:
+        import logging
+
+        logging.getLogger("camliflow_tpu").info(
+            "fast_inference engaged (mode=%s): int8 correlation-volume lookup "
+            "+ Pallas selection kernels; set model.fast_inference=off for the "
+            "exact eval path", mode,
+        )
+        _FAST_LOGGED = True
+    return fast
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def knn_from_dists(dists: jax.Array, k: int) -> jax.Array:
     """Top-k smallest along the last axis of a precomputed distance matrix.

@@ -223,3 +223,73 @@ def test_compute_precision_policy(rng):
     mod2 = cnn.DenseNormAct(8, norm=None)
     params2 = mod2.init(jax.random.PRNGKey(0), x)
     assert mod2.apply(params2, x).dtype == jnp.float32
+
+
+import flax.linen as fnn  # noqa: E402
+
+
+class _ZRPair(fnn.Module):
+    """Harness module hosting two PointConvDWs for paired_dw_conv tests."""
+
+    k: int = 4
+
+    def setup(self):
+        self.conv_z = cnn.PointConvDW(6, act=None, k=self.k)
+        self.conv_r = cnn.PointConvDW(6, act=None, k=self.k)
+
+    def __call__(self, xyz, feats, idx, paired: bool, fast: bool = False):
+        if paired:
+            return cnn.paired_dw_conv(
+                self.conv_z, self.conv_r, xyz, feats, knn_indices=idx, fast=fast
+            )
+        return (
+            self.conv_z(xyz, feats, knn_indices=idx),
+            self.conv_r(xyz, feats, knn_indices=idx),
+        )
+
+
+def test_paired_dw_conv_matches_independent_calls(rng):
+    """The single-gather z/r pair is bit-identical to two independent convs."""
+    batch, n, cin, k = 2, 24, 5, 4
+    xyz = jnp.asarray(rng.randn(batch, n, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(batch, n, cin).astype(np.float32))
+    idx = ops.k_nearest_neighbor(xyz, xyz, k)
+
+    mod = _ZRPair(k=k)
+    params = mod.init(jax.random.PRNGKey(0), xyz, feats, idx, True)
+    got_z, got_r = mod.apply(params, xyz, feats, idx, True)
+    want_z, want_r = mod.apply(params, xyz, feats, idx, False)
+    np.testing.assert_array_equal(np.asarray(got_z), np.asarray(want_z))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+
+
+def test_paired_dw_conv_fast_close(rng):
+    """fast=True (bf16 gather) stays within bf16 resolution of exact."""
+    batch, n, cin, k = 2, 24, 5, 4
+    xyz = jnp.asarray(rng.randn(batch, n, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(batch, n, cin).astype(np.float32))
+    idx = ops.k_nearest_neighbor(xyz, xyz, k)
+
+    mod = _ZRPair(k=k)
+    params = mod.init(jax.random.PRNGKey(0), xyz, feats, idx, True)
+    exact = mod.apply(params, xyz, feats, idx, True)
+    fast = mod.apply(params, xyz, feats, idx, True, fast=True)
+    for e, f in zip(exact, fast):
+        scale = float(np.abs(np.asarray(e)).max())
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(e), atol=scale * 2.0**-7
+        )
+
+
+def test_pointconv_dw_fast_close(rng):
+    """PointConvDW fast=True (bf16 features + weights) tracks the f32 path."""
+    batch, n, cin, cout, k = 2, 30, 5, 8, 4
+    xyz = jnp.asarray(rng.randn(batch, n, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(batch, n, cin).astype(np.float32))
+
+    mod = cnn.PointConvDW(cout, norm=None, act="leaky_relu", k=k)
+    params = mod.init(jax.random.PRNGKey(2), xyz, feats)
+    exact = np.asarray(mod.apply(params, xyz, feats))
+    fast = np.asarray(mod.apply(params, xyz, feats, fast=True))
+    scale = np.abs(exact).max()
+    np.testing.assert_allclose(fast, exact, atol=scale * 2.0**-7)

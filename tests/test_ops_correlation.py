@@ -115,9 +115,17 @@ def test_corr_lookup_matches_torch(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_corr_lookup_fast_path_close_to_exact(rng):
-    # split=False (bf16 hi-only fast-inference volume) must track the exact
-    # hi/lo path within bf16 resolution (~2^-9 relative on corr values)
+@pytest.mark.parametrize(
+    "storage,rel_bound",
+    [
+        # bf16 hi-only volume: ~2^-9 relative on corr values
+        ("bf16", 2.0**-8),
+        # int8 per-row symmetric quantisation: error <= row_max/254 per tap,
+        # and the bilinear blend is convex, so <= global_max/254
+        ("int8", 1.0 / 254 + 1e-6),
+    ],
+)
+def test_corr_lookup_fast_path_close_to_exact(rng, storage, rel_bound):
     f1 = rng.randn(1, 8, 8, 16).astype(np.float32)
     f2 = rng.randn(1, 8, 8, 16).astype(np.float32)
     flow = rng.uniform(-3, 3, size=(1, 8, 8, 2)).astype(np.float32)
@@ -126,7 +134,39 @@ def test_corr_lookup_fast_path_close_to_exact(rng):
     pyr = ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3)
     exact = np.asarray(ops.corr_lookup_2d(pyr, jnp.asarray(coords), radius=2))
     fast = np.asarray(
-        ops.corr_lookup_2d(pyr, jnp.asarray(coords), radius=2, split=False)
+        ops.corr_lookup_2d(pyr, jnp.asarray(coords), radius=2, storage=storage)
     )
     scale = np.abs(exact).max()
-    np.testing.assert_allclose(fast, exact, atol=scale * 2.0**-8)
+    np.testing.assert_allclose(fast, exact, atol=scale * rel_bound)
+
+
+def test_corr_lookup_gradient_parity(rng):
+    """jax.grad through the split-storage lookup vs torch autograd through the
+    reference pyramid+lookup (the bf16 hi/lo einsums quantise cotangents to
+    ~2^-9 — this pins that the training-path gradients stay within that
+    envelope end to end)."""
+    import jax
+
+    f1 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    f2 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    flow = rng.uniform(-2, 2, size=(1, 8, 8, 2)).astype(np.float32)
+    coords = np.asarray(ops.mesh_grid(1, 8, 8)) + flow
+    w = rng.randn(1, 8, 8, 3 * 25).astype(np.float32)
+
+    def jax_loss(f1j, f2j):
+        pyr = ops.all_pairs_correlation_pyramid(f1j, f2j, 3)
+        out = ops.corr_lookup_2d(pyr, jnp.asarray(coords), radius=2)
+        return jnp.sum(out * jnp.asarray(w))
+
+    g1, g2 = jax.grad(jax_loss, argnums=(0, 1))(jnp.asarray(f1), jnp.asarray(f2))
+
+    f1t = torch.from_numpy(f1.transpose(0, 3, 1, 2)).requires_grad_(True)
+    f2t = torch.from_numpy(f2.transpose(0, 3, 1, 2)).requires_grad_(True)
+    tcoords = torch.from_numpy(coords.transpose(0, 3, 1, 2))
+    out = torch_corr_pyramid_and_lookup(f1t, f2t, tcoords, num_levels=3, radius=2)
+    (out * torch.from_numpy(w.transpose(0, 3, 1, 2))).sum().backward()
+
+    for got, ref in ((g1, f1t.grad), (g2, f2t.grad)):
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(got), ref, atol=scale * 2.0**-7)

@@ -7,10 +7,15 @@ assert our JAX modules produce the same outputs on the same inputs. This is
 the live evidence behind the "checkpoint porter" and the <=1% EPE parity
 claim: it fails if any layer's semantics or the porter's name tables drift.
 
-Covered: CLFM (reference clfm.py:7-214) standalone, and the full
-CamLiRAFT_L_Core recurrence (reference camliraft_l_core.py:158-225) through
-FPS pyramid, encoders, cost-volume pyramid, Correlation3D, MotionEncoder3D,
-GRU3D, FlowHead3D and the final knn upsampling.
+Covered: CLFM (reference clfm.py:7-214) standalone; the full CamLiRAFT_L_Core
+recurrence (camliraft_l_core.py:158-225) through FPS pyramid, encoders,
+cost-volume pyramid, Correlation3D, MotionEncoder3D, GRU3D, FlowHead3D and
+the final knn upsampling; the full CamLiPWC_L model; Correlation2D pyramid +
+windowed lookup (raft_core.py:41-107); GRU2D / MotionEncoder2D / FlowHead2D /
+ConvexUpsampler2D (raft_core.py:110-197); PWCCore end-to-end via the full PWC
+model (pwc_core.py:144-225); and the entire fused CamLiRAFT_Core loop with
+injected 2D encoder outputs (camliraft_core.py:33-145). The only untested
+reference module is the mmdet ResNet backbone (mmdet is not installed here).
 """
 
 import sys
@@ -34,16 +39,40 @@ pytestmark = pytest.mark.skipif(
 
 
 def _load_reference():
-    """Import the reference `models` package with mmdet stubbed out.
+    """Import the reference `models` package with mmdet/mmcv stubbed out.
 
-    Only raft_core.py needs mmdet (for its ResNet backbone class); the 3D
-    modules under test never touch it.
+    raft_core.Encoder2D subclasses mmdet's ResNet, calls
+    super().__init__(**kw), reads self.feat_dim, imports mmcv's get_logger
+    and calls init_weights() (raft_core.py:10-32) — the stub supports
+    CONSTRUCTION so RAFTCore/CamLiRAFT_Core can be instantiated; the fused-
+    loop parity test then replaces the encoders with fixed-output stubs
+    (there is no mmdet to compare the real backbone against).
     """
-    for name in ("mmdet", "mmdet.models", "mmdet.models.backbones"):
+    import logging
+
+    import torch
+
+    class _StubResNet(torch.nn.Module):
+        feat_dim = 512
+
+        def __init__(self, **kwargs):
+            super().__init__()
+
+        def init_weights(self):
+            pass
+
+        def forward(self, x):  # pragma: no cover - always replaced
+            raise NotImplementedError
+
+    for name in (
+        "mmdet", "mmdet.models", "mmdet.models.backbones",
+        "mmcv", "mmcv.utils", "mmcv.utils.logging",
+    ):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
-    if not hasattr(sys.modules["mmdet.models.backbones"], "ResNet"):
-        sys.modules["mmdet.models.backbones"].ResNet = type("ResNet", (), {})
+    sys.modules["mmdet.models.backbones"].ResNet = _StubResNet
+    sys.modules["mmcv.utils.logging"].get_logger = logging.getLogger
+    sys.modules["mmcv.utils"].logging = sys.modules["mmcv.utils.logging"]
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
     import models as ref_models  # noqa: F401  (triggers package init)
@@ -247,3 +276,360 @@ def test_camlipwc_l_forward_parity(rng):
     assert err.max() <= 1e-3 * max(scale, 1.0), (err.max(), scale)
     close = np.isclose(flow, ref_flow, rtol=5e-3, atol=5e-5)
     assert close.mean() >= 0.999, close.mean()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: the 2D branch and the fusion cores against the actual
+# reference modules (VERDICT r2 "what's missing" #1).
+# ---------------------------------------------------------------------------
+
+
+def _port_standalone(module_state_dict, variables, drop_prefixes=()):
+    """Port a standalone reference module's state_dict (no model prefix
+    table) into our variables via suffix translation, like the CLFM test."""
+    from port_checkpoint import convert_tensor, translate_suffix
+
+    from camliflow_tpu.runtime.checkpoint import flat_to_tree, tree_to_flat
+
+    state = {
+        k: v.detach().numpy()
+        for k, v in module_state_dict.items()
+        if not k.startswith(tuple(drop_prefixes))
+    }
+    flat = tree_to_flat(variables)
+    ported = {}
+    for path, value in flat.items():
+        _, rest = path.split("/", 1)
+        tname = translate_suffix(rest, "")
+        assert tname in state, (path, tname)
+        ported[path] = convert_tensor(state[tname], value.shape).astype(value.dtype)
+    return flat_to_tree(ported)
+
+
+def test_raft_correlation2d_lookup_parity(rng):
+    """Correlation2D pyramid build + windowed lookup vs the reference module
+    (raft_core.py:41-107), including the x-major window-offset quirk."""
+    import torch
+
+    _load_reference()
+    import models.raft_core as ref_raft
+
+    from camliflow_tpu.nn.layers import dense
+    from camliflow_tpu.ops.correlation import (
+        all_pairs_correlation_pyramid,
+        corr_lookup_2d,
+    )
+    from camliflow_tpu.ops.image import mesh_grid
+
+    torch.manual_seed(0)
+    batch, h, w = 2, 16, 24
+    ref = ref_raft.Correlation2D(num_levels=4, radius=4).eval()
+
+    f1 = rng.randn(batch, h, w, 128).astype(np.float32)
+    f2 = rng.randn(batch, h, w, 128).astype(np.float32)
+    flow = rng.uniform(-3, 3, size=(batch, h, w, 2)).astype(np.float32)
+    coords = np.asarray(mesh_grid(batch, h, w)) + flow
+
+    with torch.no_grad():
+        ref.build_cost_volume_pyramid(
+            torch.from_numpy(f1.transpose(0, 3, 1, 2)),
+            torch.from_numpy(f2.transpose(0, 3, 1, 2)),
+        )
+        want = ref(torch.from_numpy(coords.transpose(0, 3, 1, 2)))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    from port_checkpoint import convert_tensor
+
+    aligner = dense(256, name="fnet_aligner")
+    variables = aligner.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 1, 128)))
+    # standalone dense: flat paths are bare kernel/bias (the module is root)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = {
+        "params": {
+            "kernel": convert_tensor(
+                state["fnet_aligner.weight"], variables["params"]["kernel"].shape
+            ),
+            "bias": state["fnet_aligner.bias"],
+        }
+    }
+    a1 = aligner.apply(variables, jnp.asarray(f1))
+    a2 = aligner.apply(variables, jnp.asarray(f2))
+    pyr = all_pairs_correlation_pyramid(a1, a2, 4)
+    got = np.asarray(corr_lookup_2d(pyr, jnp.asarray(coords), radius=4))
+
+    assert got.shape == want.shape == (batch, h, w, 4 * 81)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_raft_update_modules_parity(rng):
+    """GRU2D, MotionEncoder2D, FlowHead2D, ConvexUpsampler2D vs the reference
+    modules (raft_core.py:110-197) with ported random-init state dicts."""
+    import torch
+
+    _load_reference()
+    import models.raft_core as ref_raft
+
+    from camliflow_tpu.models.raft import (
+        ConvexUpsampler2D,
+        FlowHead2D,
+        GRU2D,
+        MotionEncoder2D,
+    )
+
+    torch.manual_seed(0)
+    batch, h, w = 2, 12, 16
+    key = jax.random.PRNGKey(0)
+
+    # GRU2D
+    ref_gru = ref_raft.GRU2D(hidden_dim=128, input_dim=256).eval()
+    hidden = rng.randn(batch, h, w, 128).astype(np.float32)
+    x_in = rng.randn(batch, h, w, 256).astype(np.float32)
+    ours = GRU2D()
+    variables = ours.init(key, jnp.asarray(hidden), jnp.asarray(x_in))
+    variables = _port_standalone(ref_gru.state_dict(), variables)
+    got = np.asarray(ours.apply(variables, jnp.asarray(hidden), jnp.asarray(x_in)))
+    with torch.no_grad():
+        want = ref_gru(
+            torch.from_numpy(hidden.transpose(0, 3, 1, 2)),
+            torch.from_numpy(x_in.transpose(0, 3, 1, 2)),
+        )
+    np.testing.assert_allclose(
+        got, want.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )
+
+    # MotionEncoder2D
+    ref_me = ref_raft.MotionEncoder2D(corr_levels=4, corr_radius=4).eval()
+    flow = rng.randn(batch, h, w, 2).astype(np.float32)
+    corr = rng.randn(batch, h, w, 324).astype(np.float32)
+    ours = MotionEncoder2D()
+    variables = ours.init(key, jnp.asarray(flow), jnp.asarray(corr))
+    variables = _port_standalone(ref_me.state_dict(), variables)
+    got = np.asarray(ours.apply(variables, jnp.asarray(flow), jnp.asarray(corr)))
+    with torch.no_grad():
+        want = ref_me(
+            torch.from_numpy(flow.transpose(0, 3, 1, 2)),
+            torch.from_numpy(corr.transpose(0, 3, 1, 2)),
+        )
+    np.testing.assert_allclose(
+        got, want.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )
+
+    # FlowHead2D
+    ref_fh = ref_raft.FlowHead2D(input_dim=128, hidden_dim=256).eval()
+    ours = FlowHead2D()
+    variables = ours.init(key, jnp.asarray(hidden))
+    variables = _port_standalone(ref_fh.state_dict(), variables)
+    got = np.asarray(ours.apply(variables, jnp.asarray(hidden)))
+    with torch.no_grad():
+        want = ref_fh(torch.from_numpy(hidden.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        got, want.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )
+
+    # ConvexUpsampler2D (0.25 mask scale + 8x convex upsample)
+    ref_up = ref_raft.ConvexUpsampler2D(input_dim=128).eval()
+    ours = ConvexUpsampler2D()
+    variables = ours.init(key, jnp.asarray(hidden), jnp.asarray(flow))
+    variables = _port_standalone(ref_up.state_dict(), variables)
+    got = np.asarray(ours.apply(variables, jnp.asarray(hidden), jnp.asarray(flow)))
+    with torch.no_grad():
+        want = ref_up(
+            torch.from_numpy(hidden.transpose(0, 3, 1, 2)),
+            torch.from_numpy(flow.transpose(0, 3, 1, 2)),
+        )
+    np.testing.assert_allclose(
+        got, want.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pwc_forward_parity(rng):
+    """PWCCore end-to-end (encode + 5-level decode + upsampling) via the full
+    PWC model vs the reference (pwc_core.py:144-225, pwc.py:7-43)."""
+    import torch
+
+    _load_reference()
+    import models.pwc as ref_mod
+
+    from camliflow_tpu.models import pwc as m
+    from camliflow_tpu.utils.config import Config
+
+    torch.manual_seed(0)
+    ref_cfgs = SimpleNamespace(
+        max_displacement=4,
+        lite_estimator=False,
+        norm=SimpleNamespace(
+            feature_pyramid="batch_norm", flow_estimator=None,
+            context_network=None,
+        ),
+    )
+    ref_model = ref_mod.PWC(ref_cfgs).eval()
+
+    batch, h, w = 1, 64, 128
+    images = (rng.rand(batch, h, w, 6) * 255).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            {"images": torch.from_numpy(images.transpose(0, 3, 1, 2))}
+        )
+    ref_flow = ref_out["flow_2d"].numpy().transpose(0, 2, 3, 1)
+
+    cfgs = Config(
+        {
+            "name": "pwc",
+            "max_displacement": 4,
+            "lite_estimator": False,
+            "norm": {
+                "feature_pyramid": "batch_norm",
+                "flow_estimator": None,
+                "context_network": None,
+            },
+            "loss": {"level_weights": [8, 4, 2, 1, 0.5], "order": "l2-norm"},
+        }
+    )
+    model = m.PWC(cfgs=cfgs.to_dict(), train_mode=False)
+    inputs = {"images": jnp.asarray(images)}
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    variables = jax.tree.map(np.asarray, variables)
+    variables = _port(
+        {k: v for k, v in ref_model.state_dict().items()}, "pwc", variables
+    )
+
+    flow = np.asarray(model.apply(variables, inputs)["flow_2d"])
+
+    err = np.abs(flow - ref_flow)
+    scale = np.abs(ref_flow).max()
+    assert err.max() <= 1e-3 * max(scale, 1.0), (err.max(), scale)
+    np.testing.assert_allclose(flow, ref_flow, rtol=5e-3, atol=5e-5)
+
+
+def test_camliraft_core_fused_loop_parity(rng, monkeypatch):
+    """The ENTIRE fused CamLiRAFT loop — 2D lookup, Correlation3D, CLFM
+    corr/motion fusion, both GRUs, both flow heads, convex + knn upsampling —
+    vs the reference CamLiRAFT_Core (camliraft_core.py:33-145), with the 2D
+    encoder outputs injected identically on both sides (mmdet is not
+    installed, so the real backbone cannot be compared; everything downstream
+    of it is)."""
+    import torch
+
+    _load_reference()
+    import flax.linen as fnn
+    import models.camliraft_core as ref_fused
+
+    from camliflow_tpu.models import camliraft as m
+    from camliflow_tpu.ops.ids import make_parallel_camera_info
+
+    torch.manual_seed(0)
+    n_iters = 2
+    # h/w chosen so the coarsest corr-pyramid level stays >= 2 px: at 1 px
+    # the reference's align_corners grid normalisation divides by zero
+    # (raft_core.py:101-102) and nan_to_num zeroes the result — a degenerate
+    # regime real resolutions never hit
+    batch, h, w, n_points = 1, 128, 128, 5000
+    h8, w8 = h // 8, w // 8
+
+    ref_cfgs = SimpleNamespace(
+        n_iters_train=n_iters,
+        n_iters_eval=n_iters,
+        fuse_fnet=True,
+        fuse_cnet=True,
+        fuse_corr=True,
+        fuse_motion=True,
+        fuse_hidden=False,
+        backbone=SimpleNamespace(depth=50, pretrained=None),
+    )
+    ref_core = ref_fused.CamLiRAFT_Core(ref_cfgs).eval()
+
+    # fixed encoder outputs, shared verbatim across frameworks
+    f1 = rng.randn(batch, h8, w8, 128).astype(np.float32)
+    f2 = rng.randn(batch, h8, w8, 128).astype(np.float32)
+    fc = rng.randn(batch, h8, w8, 128).astype(np.float32)
+
+    class _FixedEncoder(torch.nn.Module):
+        def __init__(self, outs):
+            super().__init__()
+            self.outs = outs
+            self.calls = 0
+
+        def forward(self, x):
+            out = self.outs[self.calls % len(self.outs)]
+            self.calls += 1
+            return torch.from_numpy(out.transpose(0, 3, 1, 2).copy())
+
+    ref_core.branch_2d.fnet = _FixedEncoder([f1, f2])
+    ref_core.branch_2d.cnet = _FixedEncoder([fc])
+
+    # clouds in parallel-camera coordinates, mostly inside the image
+    paral_cam = make_parallel_camera_info(h, w)
+    pc1 = np.stack(
+        [
+            rng.uniform(-0.9, 1.9, n_points),
+            rng.uniform(-0.45, 1.45, n_points),
+            rng.uniform(5.0, 15.0, n_points),
+        ],
+        axis=-1,
+    ).astype(np.float32)[None]
+    pc2 = pc1 + 0.05 * rng.randn(batch, n_points, 3).astype(np.float32)
+    images = rng.randn(batch, h, w, 3).astype(np.float32)
+
+    with torch.no_grad():
+        ref_2d, ref_3d = ref_core(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)),
+            torch.from_numpy(images.transpose(0, 3, 1, 2)),
+            torch.from_numpy(pc1.transpose(0, 2, 1)),
+            torch.from_numpy(pc2.transpose(0, 2, 1)),
+            paral_cam,
+        )
+    ref_flow_2d = ref_2d[-1].numpy().transpose(0, 2, 3, 1)
+    ref_flow_3d = ref_3d[-1].numpy().transpose(0, 2, 1)
+
+    class _StubEncoder2D(fnn.Module):
+        depth: int = 50
+
+        @fnn.compact
+        def __call__(self, x, train=False):
+            if self.name == "fnet_2d":
+                return jnp.asarray(np.concatenate([f1, f2], axis=0))
+            return jnp.asarray(fc)
+
+    monkeypatch.setattr(m, "ResNetEncoder2D", _StubEncoder2D)
+
+    core = m.CamLiRAFTCore(
+        n_iters=n_iters,
+        backbone_depth=50,
+        fuse_fnet=True,
+        fuse_cnet=True,
+        fuse_corr=True,
+        fuse_motion=True,
+        fuse_hidden=False,
+        final_only=False,
+        fast_inference="off",
+        name="core",
+    )
+    args = (
+        jnp.asarray(images), jnp.asarray(images), jnp.asarray(pc1),
+        jnp.asarray(pc2), paral_cam,
+    )
+    # camera_info carries a string field, so init cannot be jitted
+    variables = core.init(jax.random.PRNGKey(0), *args)
+    variables = jax.tree.map(np.asarray, variables)
+
+    state_dict = {
+        f"core.{k}": v
+        for k, v in ref_core.state_dict().items()
+        if not k.startswith(("branch_2d.fnet.", "branch_2d.cnet."))
+    }
+    # nest our core-level tree under "core" to reuse the full-model tables
+    wrapped = {coll: {"core": tree} for coll, tree in variables.items()}
+    wrapped = _port(state_dict, "camliraft", wrapped)
+    variables = {coll: tree["core"] for coll, tree in wrapped.items()}
+
+    flow_2d_seq, flow_3d_seq = core.apply(variables, *args)
+    flow_2d = np.asarray(flow_2d_seq[-1])
+    flow_3d = np.asarray(flow_3d_seq[-1])
+
+    for got, ref in ((flow_2d, ref_flow_2d), (flow_3d, ref_flow_3d)):
+        err = np.abs(got - ref)
+        scale = np.abs(ref).max()
+        assert err.max() <= 1e-3 * max(scale, 1.0), (err.max(), scale)
+        close = np.isclose(got, ref, rtol=5e-3, atol=5e-5)
+        assert close.mean() >= 0.999, close.mean()

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Device-synced whole-model timing + fast-vs-exact numerics measurement.
+
+Usage:
+  python tools/measure_model.py time [camliraft|camliraft_l|raft] [n_steps]
+  python tools/measure_model.py numerics   # fast-vs-exact flow deltas on chip
+  python tools/measure_model.py bytes      # compiled cost_analysis() summary
+
+`numerics` is the on-hardware gate for the approximate fast path
+(model.fast_inference): it runs the SAME inputs through fast_inference=auto
+(int8 lookup + Pallas kernels + bf16 gathers on TPU) and fast_inference=off
+(exact path) and reports max |flow delta| — the verify skill asserts the
+documented envelope (~1e-2 px 2D, ~1e-4 m 3D).
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def build(model_name, n_iters=20, fast="auto"):
+    from bench import make_inputs
+    from camliflow_tpu.models.factory import model_factory
+    from camliflow_tpu.utils.config import load_yaml
+
+    cfgs = load_yaml(f"conf/model/{model_name}.yaml")["model"]
+    cfgs["n_iters_eval"] = n_iters
+    cfgs["fast_inference"] = fast
+    spec = model_factory(cfgs)
+    inputs = make_inputs(
+        1,
+        with_images=model_name in ("camliraft", "raft"),
+        with_pcs=model_name in ("camliraft", "camliraft_l"),
+    )
+    model = spec.module_cls(cfgs=cfgs.to_dict(), train_mode=False)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+
+    @jax.jit
+    def forward(variables, inputs):
+        return model.apply(variables, inputs)
+
+    return forward, variables, inputs
+
+
+def sync(result, key):
+    leaf = result[key]
+    return float(jnp.sum(leaf[(0,) * (leaf.ndim - 1)][0]))
+
+
+def cmd_time(model_name="camliraft", n_steps=10):
+    out_key = "flow_2d" if model_name in ("camliraft", "raft") else "flow_3d"
+    forward, variables, inputs = build(model_name)
+    t0 = time.perf_counter()
+    sync(forward(variables, inputs))
+    print(f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+    sync(forward(variables, inputs), out_key)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            out = forward(variables, inputs)
+        sync(out, out_key)
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+    print(f"{model_name}: {best*1e3:.1f} ms/frame = {1/best:.2f} fps", flush=True)
+
+
+def cmd_numerics():
+    for model_name in ("camliraft", "camliraft_l"):
+        outs = {}
+        for mode in ("auto", "off"):
+            forward, variables, inputs = build(model_name, fast=mode)
+            out = forward(variables, inputs)
+            outs[mode] = jax.tree.map(np.asarray, out)
+            print(f"{model_name} fast={mode} done", flush=True)
+        for key in ("flow_2d", "flow_3d"):
+            if key not in outs["auto"]:
+                continue
+            delta = np.abs(outs["auto"][key] - outs["off"][key])
+            scale = np.abs(outs["off"][key]).max()
+            print(
+                f"{model_name} {key}: max|fast-exact|={delta.max():.3e} "
+                f"mean={delta.mean():.3e} scale={scale:.3g}", flush=True,
+            )
+
+
+def cmd_bytes():
+    from bench import make_inputs
+    from camliflow_tpu.models.factory import model_factory
+    from camliflow_tpu.utils.config import load_yaml
+
+    cfgs = load_yaml("conf/model/camliraft.yaml")["model"]
+    cfgs["n_iters_eval"] = 20
+    spec = model_factory(cfgs)
+    inputs = make_inputs(1)
+    model = spec.module_cls(cfgs=cfgs.to_dict(), train_mode=False)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    compiled = (
+        jax.jit(lambda v, i: model.apply(v, i)).lower(variables, inputs).compile()
+    )
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    print(f"bytes accessed: {cost.get('bytes accessed', 0)/1e9:.2f} GB; "
+          f"flops: {cost.get('flops', 0)/1e9:.1f} G", flush=True)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
+    if cmd == "time":
+        cmd_time(*(sys.argv[2:3] or ["camliraft"]),
+                 *(int(a) for a in sys.argv[3:4]))
+    elif cmd == "numerics":
+        cmd_numerics()
+    elif cmd == "bytes":
+        cmd_bytes()
+    else:
+        raise SystemExit(f"unknown command {cmd}")

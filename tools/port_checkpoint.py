@@ -230,6 +230,13 @@ def translate_suffix(suffix: str, torch_prefix: str) -> str:
         if m:
             head = ("pyramid_convs." if pyramid_ctx else "convs.") + m.group(1)
             return head + "." + translate_suffix(tail, torch_prefix)
+        # FeaturePyramid2D residual blocks (pwc_core.py:31-44)
+        m = re.fullmatch(r"block_(\d+)", head)
+        if m:
+            return (
+                "pyramid_convs." + m.group(1) + "."
+                + translate_suffix(tail, torch_prefix)
+            )
         return head + "." + translate_suffix(tail, torch_prefix)
     return suffix
 

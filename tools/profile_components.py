@@ -92,16 +92,23 @@ def group_loop2d():
         )
         for i, (h, w) in enumerate(LEVELS_2D)
     ]
-    pyr = jax.jit(pad_pyramid_for_lookup)(raw)
     grid = mesh_grid(1, H8, W8)
     (flow0,) = rngs((1, H8, W8, 2))
     flow0 = flow0 * 3.0
 
-    def lookup_step(flow, k):
-        corr = corr_lookup_2d_padded(k["pyr"], k["grid"] + flow, radius=4)
-        return flow + 1e-6 * corr[..., :2]
+    for storage in ("split", "bf16", "int8"):
+        pyr = jax.jit(
+            lambda p, s=storage: pad_pyramid_for_lookup(p, storage=s)
+        )(raw)
 
-    time_scan("corr_lookup_2d", lookup_step, flow0, {"pyr": pyr, "grid": grid})
+        def lookup_step(flow, k, s=storage):
+            corr = corr_lookup_2d_padded(k["pyr"], k["grid"] + flow, radius=4, storage=s)
+            return flow + 1e-6 * corr[..., :2]
+
+        time_scan(
+            f"corr_lookup_2d[{storage}]", lookup_step, flow0,
+            {"pyr": pyr, "grid": grid},
+        )
 
     (corr0,) = rngs((1, H8, W8, 324), seed=1)
     me = MotionEncoder2D()
@@ -304,8 +311,10 @@ def group_loopfull():
     up_idx = k_nearest_neighbor(xyz1, pc1, k=3)
 
     for fast in (False, True):
+        storage = "int8" if fast else "split"
         block = FusedUpdateBlock(
-            upsample_each=False, fast_inference=fast, name="update"
+            upsample_each=False, fast_inference=fast, lookup_storage=storage,
+            name="update",
         )
         consts = {
             "xyz1": xyz1,
@@ -315,7 +324,7 @@ def group_loopfull():
             "x_2d": jnp.asarray(rng.randn(1, H8, W8, 128).astype(np.float32)),
             "x_3d": jnp.asarray(rng.randn(1, N3D, 128).astype(np.float32)),
             "pyramid_2d": jax.jit(
-                lambda p: pad_pyramid_for_lookup(p, split=not fast)
+                lambda p: pad_pyramid_for_lookup(p, storage=storage)
             )(raw),
             "pyramid_3d": pyramid_3d,
             "knn_indices": knn_indices,
