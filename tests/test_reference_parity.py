@@ -502,6 +502,7 @@ def test_pwc_forward_parity(rng):
     np.testing.assert_allclose(flow, ref_flow, rtol=5e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_camliraft_core_fused_loop_parity(rng, monkeypatch):
     """The ENTIRE fused CamLiRAFT loop — 2D lookup, Correlation3D, CLFM
     corr/motion fusion, both GRUs, both flow heads, convex + knn upsampling —
@@ -633,3 +634,120 @@ def test_camliraft_core_fused_loop_parity(rng, monkeypatch):
         assert err.max() <= 1e-3 * max(scale, 1.0), (err.max(), scale)
         close = np.isclose(got, ref, rtol=5e-3, atol=5e-5)
         assert close.mean() >= 0.999, close.mean()
+
+
+@pytest.mark.slow
+def test_camlipwc_forward_parity(rng):
+    """CamLiPWC_Core full fusion (pyramid + correlation + estimator CLFMs,
+    camlipwc_core.py:17-237) via the full model vs the reference
+    (camlipwc.py:9-107), including resize-to-64x + IDS + both upsamplings."""
+    import torch
+
+    _load_reference()
+    import models.camlipwc as ref_mod
+
+    from camliflow_tpu.models import camlipwc as m
+    from camliflow_tpu.utils.config import Config
+
+    torch.manual_seed(0)
+
+    def ns(**kw):
+        return SimpleNamespace(**kw)
+
+    ref_cfgs = ns(
+        freeze_bn=False,
+        pwc2d=ns(
+            norm=ns(feature_pyramid="batch_norm", flow_estimator=None,
+                    context_network=None),
+            max_displacement=4, lite_estimator=False, fixed=False,
+        ),
+        pwc3d=ns(
+            norm=ns(feature_pyramid="batch_norm", correlation=None,
+                    flow_estimator=None),
+            fixed=False, k=16,
+        ),
+        fusion=ns(fuse_pyramid=True, fuse_correlation=True,
+                  fuse_estimator=True),
+    )
+    ref_model = ref_mod.CamLiPWC(ref_cfgs).eval()
+
+    # 128x128 so the coarsest of the 6 pyramid levels stays >= 2 px — at
+    # 1 px the reference's align_corners resizes divide by zero (same
+    # degenerate regime as the fused-loop test; real resolutions never hit it)
+    batch, h, w, n_points = 1, 128, 128, 5000
+    images = (rng.rand(batch, h, w, 6) * 255).astype(np.float32)
+    intrinsics = np.tile([100.0, 64.0, 64.0], (batch, 1)).astype(np.float32)
+    # back-project uv targets inside the image so IDS + CLFM see in-bounds
+    # points (the reference assumes camera-frustum clouds)
+    u = rng.uniform(5, w - 5, n_points)
+    v = rng.uniform(5, h - 5, n_points)
+    z = rng.uniform(5.0, 15.0, n_points)
+    pc1 = np.stack(
+        [(u - 64.0) * z / 100.0, (v - 64.0) * z / 100.0, z], axis=-1
+    ).astype(np.float32)[None]
+    pc2 = pc1 + 0.02 * rng.randn(batch, n_points, 3).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            {
+                "images": torch.from_numpy(images.transpose(0, 3, 1, 2)),
+                "pcs": torch.from_numpy(
+                    np.concatenate([pc1, pc2], axis=-1).transpose(0, 2, 1)
+                ),
+                "intrinsics": torch.from_numpy(intrinsics),
+            }
+        )
+    ref_flow_2d = ref_out["flow_2d"].numpy().transpose(0, 2, 3, 1)
+    ref_flow_3d = ref_out["flow_3d"].numpy().transpose(0, 2, 1)
+
+    cfgs = Config(
+        {
+            "name": "camlipwc",
+            "freeze_bn": False,
+            "pwc2d": {
+                "norm": {
+                    "feature_pyramid": "batch_norm",
+                    "flow_estimator": None,
+                    "context_network": None,
+                },
+                "max_displacement": 4,
+                "lite_estimator": False,
+            },
+            "pwc3d": {
+                "norm": {
+                    "feature_pyramid": "batch_norm",
+                    "correlation": None,
+                    "flow_estimator": None,
+                },
+                "k": 16,
+            },
+            "fusion": {
+                "fuse_pyramid": True,
+                "fuse_correlation": True,
+                "fuse_estimator": True,
+            },
+            "loss2d": {"level_weights": [8, 4, 2, 1, 0.5], "order": "l2-norm"},
+            "loss3d": {"level_weights": [8, 4, 2, 1, 0.5], "order": "l2-norm"},
+        }
+    )
+    inputs = {
+        "images": jnp.asarray(images),
+        "pcs": jnp.asarray(np.concatenate([pc1, pc2], axis=-1)),
+        "intrinsics": jnp.asarray(intrinsics),
+    }
+    model = m.CamLiPWC(cfgs=cfgs.to_dict(), train_mode=False)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+    variables = jax.tree.map(np.asarray, variables)
+    variables = _port(
+        {f"core.{k}": v for k, v in ref_model.core.state_dict().items()},
+        "camlipwc", variables,
+    )
+
+    out = model.apply(variables, inputs)
+    for key, ref in (("flow_2d", ref_flow_2d), ("flow_3d", ref_flow_3d)):
+        got = np.asarray(out[key])
+        err = np.abs(got - ref)
+        scale = np.abs(ref).max()
+        assert err.max() <= 1e-3 * max(scale, 1.0), (key, err.max(), scale)
+        close = np.isclose(got, ref, rtol=5e-3, atol=5e-5)
+        assert close.mean() >= 0.999, (key, close.mean())

@@ -60,7 +60,7 @@ def cmd_time(model_name="camliraft", n_steps=10):
     out_key = "flow_2d" if model_name in ("camliraft", "raft") else "flow_3d"
     forward, variables, inputs = build(model_name)
     t0 = time.perf_counter()
-    sync(forward(variables, inputs))
+    sync(forward(variables, inputs), out_key)
     print(f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
     sync(forward(variables, inputs), out_key)
     best = 1e9
