@@ -224,8 +224,6 @@ def corr_lookup_2d_padded(
     patch = 2 * r + 2
     pad = _lookup_pad(r)
     halves = 2 if storage == "split" else 1
-    sel_dtype = jnp.int8 if storage == "int8" else jnp.bfloat16
-    acc_dtype = jnp.int32 if storage == "int8" else jnp.float32
 
     coords_flat = coords.reshape(batch * height * width, 2).astype(jnp.float32)
     out_pyramid = []
@@ -252,30 +250,41 @@ def corr_lookup_2d_padded(
         start_y = (y0 + (pad - r)).astype(jnp.int32)
         start_x = (x0 + (pad - r)).astype(jnp.int32)
 
+        if storage == "int8":
+            # fast path: the int8 volume is convert-fused into the bf16
+            # one-hot selection dots — HBM reads stay s8 (half of bf16), the
+            # MXU runs the same bf16 one-hot path as the hi-only mode, and
+            # the selection stays exact (int8 values are exact in bf16).
+            # Measured FASTER than both the s8xs8 MXU path (whose s32
+            # patches drew relayout copies) and a blended-selection variant
+            # (see PERF.md round-3 notes). Dequant: one per-row multiply
+            # after the convex bilinear blend.
+            padded2 = padded2.astype(jnp.bfloat16)
+
         patch_ids = jax.lax.broadcasted_iota(jnp.int32, (1, patch, 1), 1)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ph), 2)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pw), 2)
         row_sel = (row_ids == start_y[:, None, None] + patch_ids).astype(
-            sel_dtype
+            jnp.bfloat16
         )  # [rows, P, ph]
         col_sel = (col_ids == start_x[:, None, None] + patch_ids).astype(
-            sel_dtype
+            jnp.bfloat16
         )  # [rows, P, pw]
-        # stage 1: column (x) selection over the halves. The accumulator
-        # holds pure stored values (one-hot selection), so the cast back to
-        # the storage dtype is lossless (bf16 values survive the f32
-        # accumulator; int8 values fit the s32 accumulator exactly).
+        # stage 1: column (x) selection over the halves; the f32 result
+        # holds pure bf16 values (one-hot selection), so the cast to bf16 is
+        # lossless
         cslab = jnp.einsum(
-            "rqw,rwh->rqh", col_sel, padded2, preferred_element_type=acc_dtype
+            "rqw,rwh->rqh", col_sel, padded2,
+            preferred_element_type=jnp.float32,
         )  # [rows, Q, halves*ph]
-        cslab = cslab.astype(sel_dtype).reshape(rows, patch * halves, ph)
+        cslab = cslab.astype(jnp.bfloat16).reshape(rows, patch * halves, ph)
         # stage 2: row (y) selection per half, then recombine hi + lo.
         # Output is [rows, Q(x), P(y)] — x-major, matching the reference's
         # channel order without a final transpose.
         patches2 = jnp.einsum(
-            "rth,rph->rtp", cslab, row_sel, preferred_element_type=acc_dtype
+            "rth,rph->rtp", cslab, row_sel, preferred_element_type=jnp.float32
         ).reshape(rows, patch, halves, patch)
-        patches = jnp.sum(patches2, axis=2).astype(jnp.float32)
+        patches = jnp.sum(patches2, axis=2)
 
         blended = (
             (1.0 - fx) * (1.0 - fy) * patches[:, :-1, :-1]
@@ -284,9 +293,8 @@ def corr_lookup_2d_padded(
             + fx * fy * patches[:, 1:, 1:]
         )  # [rows, span(x), span(y)] — x-major directly (see stage 2)
         if scale is not None:
-            # int8 dequant: one per-row multiply AFTER the (convex) bilinear
-            # blend — equivalent to dequantising each tap, at 1/(Q*P)th the
-            # multiplies
+            # int8 dequant AFTER the (convex) blend — equivalent to
+            # dequantising every tap at 1/(Q*P)th the multiplies
             blended = blended * scale[:, None, None]
         # channel k = i*span + j with i the x-offset (reference quirk);
         # stage 2 already emits x-major so no transpose (a materialised

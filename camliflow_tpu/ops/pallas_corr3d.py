@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_N = 128  # keeps kernel stack < the 16MB scoped-vmem limit at M0=2048
+# 256-query tiles: halves the per-tile fori_loop overhead vs 128. The
+# round-2 OOM at 256 (16.04 MB scoped vmem) was with in-kernel payload
+# extraction; the selection-only kernel fits comfortably.
+_TILE_N = 256
 
 
 def _corr3d_knn_kernel(
@@ -49,6 +52,21 @@ def _corr3d_knn_kernel(
     level_sizes,
     k,
 ):
+    """Chunked prefix selection.
+
+    The levels are column-prefixes of one distance matrix, so the k-nearest
+    of level l equals a k-way MERGE of the k-nearest of its disjoint column
+    chunks [m_{l+1}, m_l). Each chunk is selected ONCE and shared by every
+    level containing it — total selection columns drop from sum(m_l) (each
+    level re-scanning its whole prefix) to m_0, about half at the model's
+    (2048,1024,512,256). During a chunk's selection the masked-reduce cost
+    extraction runs against every containing level's pyramid block (same
+    total extraction work as before); merges then carry (dist, idx, cost)
+    triples and preserve the ascending-distance, lowest-index-first order
+    bit-exactly.
+    """
+    n_queries = xyz1_ref.shape[1]
+    n_levels = len(level_sizes)
     q = xyz1_ref[0].astype(jnp.float32)  # [T, 3]
     p = xyz2_ref[0].astype(jnp.float32)  # [M0, 3]
     d_full = -2.0 * jax.lax.dot_general(
@@ -62,38 +80,99 @@ def _corr3d_knn_kernel(
     d_full = d_full + jnp.sum(p * p, axis=-1)[None, :]
     dist_ref[...] = d_full
 
-    offset = 0
-    for level, m_l in enumerate(level_sizes):
-        pyr = pyr_ref[0, :, offset : offset + m_l]  # [T, m_l] per-query costs
-        cols = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], m_l), 1)
-        lane_out = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1)
-        if level > 0:
-            dist_ref[:, :m_l] = d_full[:, :m_l]
+    sizes = list(level_sizes)  # descending
+    bounds = [0] + sizes[::-1]  # ascending chunk boundaries
+    # chunk c covers columns [bounds[c], bounds[c+1]); level l uses chunks
+    # 0..(n_levels-1-l)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (n_queries, k), 1)
 
-        def body(j, _, m_l=m_l, pyr=pyr, cols=cols, lane_out=lane_out):
-            d = dist_ref[:, :m_l]
+    # per-chunk k-best: (dist, idx) + one cost row per containing level
+    chunk_d = []
+    chunk_i = []
+    chunk_cost = []  # chunk_cost[c][l] for levels l with m_l >= bounds[c+1]
+    for c in range(len(bounds) - 1):
+        lo, hi = bounds[c], bounds[c + 1]
+        width = hi - lo
+        cols = lo + jax.lax.broadcasted_iota(
+            jnp.int32, (n_queries, width), 1
+        )
+        levels_here = [l for l in range(n_levels) if sizes[l] >= hi]
+        pyrs = []
+        off = 0
+        for l in range(n_levels):
+            if l in levels_here:
+                pyrs.append((l, pyr_ref[0, :, off + lo : off + hi]))
+            off += sizes[l]
+
+        d_sel = jnp.full((n_queries, k), jnp.inf, jnp.float32)
+        i_sel = jnp.full((n_queries, k), 0, jnp.int32)
+        c_sel = {l: jnp.zeros((n_queries, k), jnp.float32) for l, _ in pyrs}
+
+        def body(j, state, lo=lo, hi=hi, cols=cols, pyrs=pyrs):
+            d_sel, i_sel, c_sel = state
+            d = dist_ref[:, lo:hi]
             dmin = jnp.min(d, axis=1, keepdims=True)
             idx = jnp.min(
-                jnp.where(d == dmin, cols, m_l), axis=1, keepdims=True
+                jnp.where(d == dmin, cols, jnp.int32(2**30)),
+                axis=1, keepdims=True,
             )
             mask = cols == idx
-            # the selected entry's cost rides the selection mask (exact:
-            # one term survives); doing this here avoids a catastrophic
-            # 131K-single-float take_along_axis gather in XLA (~1.5 ms/iter)
-            sel_cost = jnp.sum(
-                jnp.where(mask, pyr, 0.0), axis=1, keepdims=True
-            )
-            acc_ref[...] = jnp.where(lane_out == j, idx, acc_ref[...])
-            cost_acc_ref[...] = jnp.where(
-                lane_out == j, sel_cost, cost_acc_ref[...]
-            )
-            dist_ref[:, :m_l] = jnp.where(mask, jnp.inf, d)
-            return 0
+            d_sel = jnp.where(lane_k == j, dmin, d_sel)
+            i_sel = jnp.where(lane_k == j, idx, i_sel)
+            c_sel = {
+                l: jnp.where(
+                    lane_k == j,
+                    jnp.sum(jnp.where(mask, pyr, 0.0), axis=1, keepdims=True),
+                    c_sel[l],
+                )
+                for l, pyr in pyrs
+            }
+            dist_ref[:, lo:hi] = jnp.where(mask, jnp.inf, d)
+            return d_sel, i_sel, c_sel
 
-        jax.lax.fori_loop(0, k, body, 0)
-        idx_out_ref[0, :, level * k : (level + 1) * k] = acc_ref[...]
-        cost_out_ref[0, :, level * k : (level + 1) * k] = cost_acc_ref[...]
-        offset += m_l
+        n_steps = min(k, width)
+        # NB fori_loop(unroll=...) does not lower inside Pallas (MLIR
+        # closed_call KeyError); loops stay rolled
+        d_sel, i_sel, c_sel = jax.lax.fori_loop(
+            0, n_steps, body, (d_sel, i_sel, c_sel)
+        )
+        chunk_d.append(d_sel)
+        chunk_i.append(i_sel)
+        chunk_cost.append(c_sel)
+
+    # per-level merge of its chunks' candidates (straight-line: candidate
+    # counts are static)
+    for l in range(n_levels):
+        n_chunks = n_levels - l
+        cand_d = jnp.concatenate(chunk_d[:n_chunks], axis=1)
+        cand_i = jnp.concatenate(chunk_i[:n_chunks], axis=1)
+        cand_c = jnp.concatenate(
+            [chunk_cost[c][l] for c in range(n_chunks)], axis=1
+        )
+        if n_chunks == 1:
+            acc_ref[...] = cand_i
+            cost_acc_ref[...] = cand_c
+        else:
+            def merge(j, state, cand_c=cand_c, cand_i=cand_i):
+                d, = state
+                dmin = jnp.min(d, axis=1, keepdims=True)
+                sel_i = jnp.min(
+                    jnp.where(d == dmin, cand_i, jnp.int32(2**30)),
+                    axis=1, keepdims=True,
+                )
+                mask = (d == dmin) & (cand_i == sel_i)
+                sel_c = jnp.sum(
+                    jnp.where(mask, cand_c, 0.0), axis=1, keepdims=True
+                )
+                acc_ref[...] = jnp.where(lane_k == j, sel_i, acc_ref[...])
+                cost_acc_ref[...] = jnp.where(
+                    lane_k == j, sel_c, cost_acc_ref[...]
+                )
+                return (jnp.where(mask, jnp.inf, d),)
+
+            jax.lax.fori_loop(0, k, merge, (cand_d,))
+        idx_out_ref[0, :, l * k : (l + 1) * k] = acc_ref[...]
+        cost_out_ref[0, :, l * k : (l + 1) * k] = cost_acc_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("level_sizes", "k", "interpret"))

@@ -121,7 +121,8 @@ def test_corr_lookup_matches_torch(rng):
         # bf16 hi-only volume: ~2^-9 relative on corr values
         ("bf16", 2.0**-8),
         # int8 per-row symmetric quantisation: error <= row_max/254 per tap,
-        # and the bilinear blend is convex, so <= global_max/254
+        # and the bilinear blend is convex, so <= global_max/254 (the bf16
+        # one-hot selection of int8 values is exact)
         ("int8", 1.0 / 254 + 1e-6),
     ],
 )

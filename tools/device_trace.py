@@ -53,36 +53,62 @@ def main():
     with open(sorted(paths)[-1], "rb") as f:
         space.ParseFromString(f.read())
 
-    # device plane: per-op events with self time
-    totals = defaultdict(float)
+    # device plane: per-op events. We bucket ops by whether their time range
+    # lies inside a while-loop event's range (op names inside the loop body
+    # don't mention "while", so name matching cannot attribute them).
+    events = []  # (name, start_ps, dur_ps)
+    module_ms = 0.0
     for plane in space.planes:
         if "TPU" not in plane.name and "Device" not in plane.name:
             continue
         ev_meta = plane.event_metadata
-        stat_meta = plane.stat_metadata
         for line in plane.lines:
             for ev in line.events:
                 name = ev_meta[ev.metadata_id].name
-                dur = ev.duration_ps / 1e9  # ms
-                self_dur = dur
-                for st in ev.stats:
-                    sname = stat_meta[st.metadata_id].name
-                    if sname == "self_duration_ps":
-                        self_dur = st.uint64_value / 1e9
-                totals[name] += self_dur
-    if not totals:
+                if name.startswith("jit_"):
+                    module_ms += ev.duration_ps / 1e9
+                    continue
+                events.append((name, ev.offset_ps, ev.duration_ps))
+    if not events:
         print("no device events found; planes:",
               [p.name for p in space.planes])
         return
 
+    loop_ranges = [
+        (s, s + d) for n, s, d in events if n.startswith("%while")
+    ]
+
+    def in_loop(start, dur):
+        return any(s <= start and start + dur <= e for s, e in loop_ranges)
+
+    totals = defaultdict(float)
+    loop_totals = defaultdict(float)
+    while_ms = sum((e - s) for s, e in loop_ranges) / 1e9
+    attributed_loop = 0.0
+    attributed_out = 0.0
+    for name, start, dur in events:
+        if name.startswith("%while"):
+            continue
+        ms = dur / 1e9
+        totals[name] += ms
+        if in_loop(start, dur):
+            loop_totals[name] += ms
+            attributed_loop += ms
+        else:
+            attributed_out += ms
+
     items = sorted(totals.items(), key=lambda kv: -kv[1])
-    grand = sum(totals.values())
-    in_loop = sum(v for k, v in totals.items() if "while" in k)
-    print(f"total device self-time {grand/n_frames:.2f} ms/frame over "
-          f"{n_frames} frames; while-loop ops {in_loop/n_frames:.2f} ms/frame")
-    print(f"{'ms/frame':>9}  {'%':>5}  op")
+    print(
+        f"module total {module_ms/n_frames:.2f} ms/frame over {n_frames} "
+        f"frames | while {while_ms/n_frames:.2f} (attributed "
+        f"{attributed_loop/n_frames:.2f}) | outside attributed "
+        f"{attributed_out/n_frames:.2f} | outside unattributed "
+        f"{(module_ms - while_ms - attributed_out)/n_frames:.2f}"
+    )
+    print(f"{'ms/frame':>9}  {'loop':>5}  op")
     for name, ms in items[:top_k]:
-        print(f"{ms/n_frames:9.3f}  {100*ms/grand:5.1f}  {name[:140]}")
+        lp = loop_totals.get(name, 0.0)
+        print(f"{ms/n_frames:9.3f}  {lp/ms if ms else 0:5.2f}  {name[:140]}")
 
 
 if __name__ == "__main__":

@@ -28,6 +28,8 @@ sys.path.insert(0, ".")
 
 
 def build(model_name, n_iters=20, fast="auto"):
+    import os
+
     from bench import make_inputs
     from camliflow_tpu.models.factory import model_factory
     from camliflow_tpu.utils.config import load_yaml
@@ -35,6 +37,10 @@ def build(model_name, n_iters=20, fast="auto"):
     cfgs = load_yaml(f"conf/model/{model_name}.yaml")["model"]
     cfgs["n_iters_eval"] = n_iters
     cfgs["fast_inference"] = fast
+    if os.environ.get("MEASURE_COMPUTE_DTYPE"):
+        cfgs["compute_dtype"] = os.environ["MEASURE_COMPUTE_DTYPE"]
+    if os.environ.get("MEASURE_LOOKUP_STORAGE"):
+        cfgs["lookup_storage"] = os.environ["MEASURE_LOOKUP_STORAGE"]
     spec = model_factory(cfgs)
     inputs = make_inputs(
         1,
@@ -73,8 +79,11 @@ def cmd_time(model_name="camliraft", n_steps=10):
     print(f"{model_name}: {best*1e3:.1f} ms/frame = {1/best:.2f} fps", flush=True)
 
 
-def cmd_numerics():
-    for model_name in ("camliraft", "camliraft_l"):
+def cmd_numerics(models=("camliraft",)):
+    """Default: flagship only — each (model, mode) pair costs a ~10 min
+    full-res compile; camliraft exercises every fast-path kernel the other
+    models use."""
+    for model_name in models:
         outs = {}
         for mode in ("auto", "off"):
             forward, variables, inputs = build(model_name, fast=mode)
@@ -119,7 +128,7 @@ if __name__ == "__main__":
         cmd_time(*(sys.argv[2:3] or ["camliraft"]),
                  *(int(a) for a in sys.argv[3:4]))
     elif cmd == "numerics":
-        cmd_numerics()
+        cmd_numerics(tuple(sys.argv[2:]) or ("camliraft",))
     elif cmd == "bytes":
         cmd_bytes()
     else:

@@ -103,7 +103,9 @@ def group_loop2d():
 
         def lookup_step(flow, k, s=storage):
             corr = corr_lookup_2d_padded(k["pyr"], k["grid"] + flow, radius=4, storage=s)
-            return flow + 1e-6 * corr[..., :2]
+            # consume EVERY channel (full reduce) — slicing lets XLA prune
+            # the other levels' einsums entirely (DCE trap, verify skill)
+            return flow * (1.0 + 1e-9 * jnp.mean(corr))
 
         time_scan(
             f"corr_lookup_2d[{storage}]", lookup_step, flow0,
@@ -140,9 +142,10 @@ def group_loop2d():
 
     time_scan("flow_head_2d", fh_step, h0, {"vars": fh_vars})
 
-    # whole 2D iteration (RAFT update block, no upsample)
+    # whole 2D iteration (RAFT update block, no upsample; exact split pyramid)
     ub = UpdateBlock2D(upsample_each=False)
-    ub_consts = {"pyramid": pyr, "grid": grid, "x": x0[..., :128]}
+    pyr_split = jax.jit(lambda p: pad_pyramid_for_lookup(p, storage="split"))(raw)
+    ub_consts = {"pyramid": pyr_split, "grid": grid, "x": x0[..., :128]}
     ub_vars = ub.init(key, (h0, flow0), ub_consts)
 
     def ub_step(c, k):
