@@ -285,6 +285,14 @@ def corr_lookup_2d_padded(
             "rth,rph->rtp", cslab, row_sel, preferred_element_type=jnp.float32
         ).reshape(rows, patch, halves, patch)
         patches = jnp.sum(patches2, axis=2)
+        if halves == 1:
+            # bf16/int8 storage: each patch entry is a one-hot selection of a
+            # bf16-exact value, so this cast is LOSSLESS — and it halves the
+            # {2,1,0}->{0,2,1} relayout copies XLA inserts between the
+            # einsum and the blend (the CLFM image->point sampling matmul
+            # downstream wants rows-minor; see PERF.md). The split path sums
+            # hi+lo halves and must stay f32.
+            patches = patches.astype(jnp.bfloat16)
 
         blended = (
             (1.0 - fx) * (1.0 - fy) * patches[:, :-1, :-1]
