@@ -118,6 +118,24 @@ class FusedUpdateBlock(nn.Module):
             dw = jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), dw)
         return dw
 
+    def pallas_params_2d(self):
+        """Loop-invariant bf16 operands for the fused 2D update-chain
+        kernels (ops/pallas_update2d.py). Apply-time only."""
+        from ..ops.pallas_update2d import (
+            prepare_gru_flowhead_params,
+            prepare_motion_encoder_params,
+        )
+
+        return (
+            prepare_motion_encoder_params(
+                self.motion_encoder_2d.variables["params"]
+            ),
+            prepare_gru_flowhead_params(
+                self.gru_2d.variables["params"],
+                self.flow_head_2d.variables["params"],
+            ),
+        )
+
     def upsample(self, h_2d, flow_2d, flow_3d, consts):
         flow_2d_up = self.convex_upsampler(h_2d, flow_2d)
         flow_3d_up = jnp.sum(
@@ -142,10 +160,11 @@ class FusedUpdateBlock(nn.Module):
         )
         level_sizes = tuple(x.shape[1] for x in xyzs2)
 
-        # correlation lookups (fast inference: int8 volume)
+        # correlation lookup (fast inference: int8 volume; stays on the XLA
+        # einsum path — an in-kernel fused variant measured 2.8x slower)
         corr_2d = corr_lookup_2d_padded(
-            consts["pyramid_2d"], consts["grid"] + flow_2d, radius=self.corr_radius,
-            storage=self.lookup_storage,
+            consts["pyramid_2d"], consts["grid"] + flow_2d,
+            radius=self.corr_radius, storage=self.lookup_storage,
         )
         corr_3d = self.correlation_3d(
             xyz1, xyz2_warp_full, level_sizes, consts["pyramid_3d"],
@@ -157,8 +176,18 @@ class FusedUpdateBlock(nn.Module):
                 uv1, corr_2d, corr_3d, interp_cache=interp_cache
             )
 
-        # motion features
-        motion_2d = self.motion_encoder_2d(flow_2d, corr_2d)
+        # motion features (fast path: one fused VMEM-resident bf16 kernel
+        # instead of the 5-conv XLA chain — ops/pallas_update2d.py)
+        use_pallas_2d = "me_params" in consts
+        height, width = h_2d.shape[1:3]
+        if use_pallas_2d:
+            from ..ops.pallas_update2d import motion_encoder_2d_pallas
+
+            motion_2d = motion_encoder_2d_pallas(
+                flow_2d, corr_2d, consts["me_params"], height, width
+            )
+        else:
+            motion_2d = self.motion_encoder_2d(flow_2d, corr_2d)
         motion_3d = self.motion_encoder_3d(
             xyz1, flow_3d, corr_3d, knn_indices, dw=dw.get("motion_encoder"),
             fast=self.fast_inference,
@@ -168,10 +197,21 @@ class FusedUpdateBlock(nn.Module):
                 uv1, motion_2d, motion_3d, interp_cache=interp_cache
             )
 
-        # GRUs
-        h_2d = self.gru_2d(
-            h_2d, jnp.concatenate([consts["x_2d"], motion_2d], axis=-1)
-        )
+        # GRUs (fast path: GRU2D + FlowHead2D fused into one kernel; valid
+        # because fuse_hidden=False keeps them contiguous — with
+        # fuse_hidden=True the CLFM would sit between them, so fall back)
+        fuse_gru_head = use_pallas_2d and not self.fuse_hidden
+        if fuse_gru_head:
+            from ..ops.pallas_update2d import gru_flowhead_2d_pallas
+
+            h_2d, delta_2d_fused = gru_flowhead_2d_pallas(
+                h_2d, consts["x_2d"], motion_2d, consts["gf_params"],
+                height, width,
+            )
+        else:
+            h_2d = self.gru_2d(
+                h_2d, jnp.concatenate([consts["x_2d"], motion_2d], axis=-1)
+            )
         h_3d = self.gru_3d(
             xyz1,
             h_3d,
@@ -186,7 +226,7 @@ class FusedUpdateBlock(nn.Module):
             )
 
         # flow heads + residual update
-        delta_2d = self.flow_head_2d(h_2d)
+        delta_2d = delta_2d_fused if fuse_gru_head else self.flow_head_2d(h_2d)
         flow_2d = flow_2d + delta_2d
 
         delta_3d = self.flow_head_3d(
@@ -371,8 +411,14 @@ class CamLiRAFTCore(nn.Module):
             "x_2d": x_2d,
             "x_3d": x_3d,
             "pyramid_2d": pyramid_2d,
-            # concatenated once here — the scan body must not rebuild it
-            "pyramid_3d": jnp.concatenate(pyramid_3d, axis=-1),
+            # concatenated once here — the scan body must not rebuild it.
+            # Fast path: stored bf16 — the selection kernel re-reads the
+            # whole [N, sum(m_l)] pyramid every iteration (~130 MB f32 at
+            # 4096 x 7936), and only the extracted cost values round
+            # (selection distances stay f32).
+            "pyramid_3d": jnp.concatenate(pyramid_3d, axis=-1).astype(
+                jnp.bfloat16 if fast else jnp.float32
+            ),
             "knn_indices": knn_indices,
             "up_idx": up_idx,
             "up_weights": up_weights,
@@ -380,6 +426,10 @@ class CamLiRAFTCore(nn.Module):
         }
         # hoist loop-invariant PointConvDW geometric weights out of the scan
         consts["dw"] = update.precompute(xyz1, knn_indices, train=train)
+        if fast and not self.is_initializing():
+            # fused 2D update-chain kernel weights (bf16 reshapes, hoisted
+            # out of the scan); at init the exact path creates the params
+            consts["me_params"], consts["gf_params"] = update.pallas_params_2d()
         if self.profile_stage == "volumes":
             # consume every const fully so XLA cannot dead-code any of the
             # volume/cache construction

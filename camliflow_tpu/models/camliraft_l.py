@@ -457,8 +457,13 @@ class CamLiRAFTLCore(nn.Module):
         consts = {
             "xyz1": xyz1,
             "xyzs2": xyzs2,
-            # concatenated once here — the scan body must not rebuild it
-            "pyramid": jnp.concatenate(pyramid, axis=-1),
+            # concatenated once here — the scan body must not rebuild it.
+            # Fast path: stored bf16 — the selection kernel re-reads the
+            # whole [N, sum(m_l)] pyramid every iteration; only the
+            # extracted cost values round (selection distances stay f32).
+            "pyramid": jnp.concatenate(pyramid, axis=-1).astype(
+                jnp.bfloat16 if update.fast_inference else jnp.float32
+            ),
             "knn_indices": knn_indices,
             "x": x,
         }

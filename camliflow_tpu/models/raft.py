@@ -120,6 +120,10 @@ class UpdateBlock2D(nn.Module):
     # correlation-volume storage mode for the in-loop lookup ("split" exact,
     # "bf16", or the int8 fast-inference path — see pad_pyramid_for_lookup)
     lookup_storage: str = "split"
+    # fused Pallas update chain (inference only): MotionEncoder2D and
+    # GRU2D+FlowHead2D each run as ONE VMEM-resident bf16 kernel
+    # (ops/pallas_update2d.py) instead of ~14 XLA conv ops per iteration
+    fast_pallas: bool = False
 
     def setup(self):
         self.motion_encoder = MotionEncoder2D()
@@ -130,16 +134,50 @@ class UpdateBlock2D(nn.Module):
     def upsample(self, h, flow):
         return self.convex_upsampler(h, flow)
 
+    def pallas_params(self):
+        """Loop-invariant bf16 kernel operands for the fused update chain.
+        Call OUTSIDE the scan (apply only — params must already exist)."""
+        from ..ops.pallas_update2d import (
+            prepare_gru_flowhead_params,
+            prepare_motion_encoder_params,
+        )
+
+        return (
+            prepare_motion_encoder_params(
+                self.motion_encoder.variables["params"]
+            ),
+            prepare_gru_flowhead_params(
+                self.gru.variables["params"], self.flow_head.variables["params"]
+            ),
+        )
+
     def __call__(self, carry, consts):
         h, flow = carry
         flow = jax.lax.stop_gradient(flow)
+        use_pallas = self.fast_pallas and "me_params" in consts
+        # the lookup stays on the XLA einsum path: an in-kernel fused variant
+        # (batched one-hot dots in Mosaic) measured 2.8x slower — see PERF.md
         corr = corr_lookup_2d_padded(
-            consts["pyramid"], consts["grid"] + flow, radius=self.corr_radius,
-            storage=self.lookup_storage,
+            consts["pyramid"], consts["grid"] + flow,
+            radius=self.corr_radius, storage=self.lookup_storage,
         )
-        motion = self.motion_encoder(flow, corr)
-        h = self.gru(h, jnp.concatenate([consts["x"], motion], axis=-1))
-        delta = self.flow_head(h)
+        if use_pallas:
+            from ..ops.pallas_update2d import (
+                gru_flowhead_2d_pallas,
+                motion_encoder_2d_pallas,
+            )
+
+            height, width = h.shape[1:3]
+            motion = motion_encoder_2d_pallas(
+                flow, corr, consts["me_params"], height, width
+            )
+            h, delta = gru_flowhead_2d_pallas(
+                h, consts["x"], motion, consts["gf_params"], height, width
+            )
+        else:
+            motion = self.motion_encoder(flow, corr)
+            h = self.gru(h, jnp.concatenate([consts["x"], motion], axis=-1))
+            delta = self.flow_head(h)
         flow = flow + delta
         out = self.upsample(h, flow) if self.upsample_each else flow
         return (h, flow), out
@@ -206,8 +244,13 @@ class RAFTCore(nn.Module):
             corr_radius=self.corr_radius,
             upsample_each=not self.final_only,
             lookup_storage=storage,
+            fast_pallas=fast,
             name="update",
         )
+        if fast and not self.is_initializing():
+            # fused-update kernel weights (bf16 reshapes, hoisted out of the
+            # scan); at init the exact path below creates the conv params
+            consts["me_params"], consts["gf_params"] = update.pallas_params()
         scan = nn.scan(
             lambda mdl, carry, c: mdl(carry, c),
             variable_broadcast="params",

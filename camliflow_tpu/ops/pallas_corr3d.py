@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .geometry import _on_tpu
+
 # 256-query tiles: halves the per-tile fori_loop overhead vs 128. The
 # round-2 OOM at 256 (16.04 MB scoped vmem) was with in-kernel payload
 # extraction; the selection-only kernel fits comfortably.
@@ -101,7 +103,13 @@ def _corr3d_knn_kernel(
         off = 0
         for l in range(n_levels):
             if l in levels_here:
-                pyrs.append((l, pyr_ref[0, :, off + lo : off + hi]))
+                # f32 or bf16 storage (fast path stores the pyramid bf16 to
+                # halve the per-iteration HBM re-read); converted once at
+                # load — selection is distance-driven either way, only the
+                # extracted cost values round under bf16 storage
+                pyrs.append(
+                    (l, pyr_ref[0, :, off + lo : off + hi].astype(jnp.float32))
+                )
             off += sizes[l]
 
         d_sel = jnp.full((n_queries, k), jnp.inf, jnp.float32)
@@ -182,7 +190,7 @@ def correlation3d_knn_pallas(
     pyramid_cat: jax.Array,
     level_sizes: tuple[int, ...],
     k: int = 16,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-level prefix KNN selection + cost extraction.
 
@@ -199,6 +207,8 @@ def correlation3d_knn_pallas(
       lowest-index tie-break); the rel_xyz payload is left to one XLA
       gather (see module docstring).
     """
+    if interpret is None:
+        interpret = not _on_tpu()  # CPU runs the interpreter (tests)
     batch, n_queries, _ = xyz1.shape
     m0 = xyz2_warp.shape[1]
     m_total = pyramid_cat.shape[2]

@@ -56,6 +56,16 @@ def test_selection_matches_xla_path(rng, k):
         rtol=1e-6,
         atol=1e-7,
     )
+    # bf16 pyramid storage (fast path): selection identical — distances are
+    # f32 regardless — and only the extracted costs round to bf16
+    idx16, cost16 = correlation3d_knn_pallas(
+        xyz1, xyz2, cv.astype(jnp.bfloat16), tuple(level_sizes), k=k,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(idx16), got_np)
+    np.testing.assert_allclose(
+        np.asarray(cost16), np.asarray(got_cost), rtol=1e-2, atol=1e-2
+    )
 
 
 def test_module_fast_path_matches(rng):

@@ -8,6 +8,13 @@ prints the top-K ops by total self time plus a while-loop / outside split.
 
 Usage:
   python tools/device_trace.py [camliraft|camliraft_l|raft] [n_frames] [top_k]
+  python tools/device_trace.py gaps [model] [n_frames] [top_k]
+
+`gaps` mode reconstructs the per-line timeline INSIDE the while-loop window
+and prints the largest stalls on the busiest (compute) line together with
+the ops bracketing each stall and any events concurrently active on the
+other lines (DMA queues) — self-time top lists say where time is spent,
+this says where time is LOST.
 """
 
 import glob
@@ -24,11 +31,12 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 
-def main():
-    model_name = sys.argv[1] if len(sys.argv) > 1 else "camliraft"
-    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    top_k = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+def collect_events(model_name, n_frames):
+    """Trace n_frames forwards; return (events, line_events, module_ms).
 
+    events: flat [(name, start_ps, dur_ps)]. line_events: {line_name: same},
+    preserving which trace line (compute core vs DMA queues) each op ran on.
+    """
     from measure_model import build, sync
 
     out_key = "flow_2d" if model_name in ("camliraft", "raft") else "flow_3d"
@@ -53,10 +61,8 @@ def main():
     with open(sorted(paths)[-1], "rb") as f:
         space.ParseFromString(f.read())
 
-    # device plane: per-op events. We bucket ops by whether their time range
-    # lies inside a while-loop event's range (op names inside the loop body
-    # don't mention "while", so name matching cannot attribute them).
     events = []  # (name, start_ps, dur_ps)
+    line_events = defaultdict(list)
     module_ms = 0.0
     for plane in space.planes:
         if "TPU" not in plane.name and "Device" not in plane.name:
@@ -69,6 +75,96 @@ def main():
                     module_ms += ev.duration_ps / 1e9
                     continue
                 events.append((name, ev.offset_ps, ev.duration_ps))
+                line_events[line.name or f"line{line.id}"].append(
+                    (name, ev.offset_ps, ev.duration_ps)
+                )
+    return events, line_events, module_ms
+
+
+def cmd_gaps(model_name="camliraft", n_frames=2, top_k=30):
+    """Stall analysis of ONE while-loop window: gaps on the compute line."""
+    events, line_events, module_ms = collect_events(model_name, n_frames)
+    loops = sorted(
+        ((s, s + d) for n, s, d in events if n.startswith("%while")),
+        key=lambda r: r[1] - r[0],
+    )
+    assert loops, "no while-loop events in trace"
+    lo, hi = loops[-1]  # largest loop window (the refinement scan)
+    print(f"while window {(hi-lo)/1e9:.2f} ms; module "
+          f"{module_ms/n_frames:.2f} ms/frame")
+
+    # per-line busy time inside the window
+    def clip(evts):
+        out = []
+        for n, s, d in evts:
+            e = s + d
+            cs, ce = max(s, lo), min(e, hi)
+            if ce > cs:
+                out.append((n, cs, ce))
+        return sorted(out, key=lambda t: t[1])
+
+    clipped = {ln: clip(evts) for ln, evts in line_events.items()}
+    clipped = {ln: evts for ln, evts in clipped.items() if evts}
+    for ln, evts in sorted(clipped.items(), key=lambda kv: -len(kv[1])):
+        busy = sum(e - s for _, s, e in evts)
+        print(f"  line '{ln}': {len(evts)} events, busy "
+              f"{busy/1e9:.2f} ms ({100*busy/(hi-lo):.0f}%)")
+
+    # compute line = busiest by event count (XLA op stream)
+    comp = max(clipped.items(), key=lambda kv: len(kv[1]))[1]
+    gaps = []  # (gap_ps, t, prev_name, next_name)
+    cursor = lo
+    prev_name = "<loop entry>"
+    for n, s, e in comp:
+        if s > cursor:
+            gaps.append((s - cursor, cursor, prev_name, n))
+        if e > cursor:
+            cursor = e
+            prev_name = n
+    if hi > cursor:
+        gaps.append((hi - cursor, cursor, prev_name, "<loop exit>"))
+    total_gap = sum(g for g, *_ in gaps)
+    print(f"compute-line gaps: {total_gap/1e9:.2f} ms total over "
+          f"{len(gaps)} gaps ({100*total_gap/(hi-lo):.0f}% of window)")
+
+    def concurrent(t0, t1):
+        out = []
+        for ln, evts in clipped.items():
+            if evts is comp:
+                continue
+            for n, s, e in evts:
+                if s < t1 and e > t0:
+                    out.append(f"{ln}:{n[:60]}")
+        return out
+
+    gaps.sort(key=lambda g: -g[0])
+    for g, t, pn, nn in gaps[:top_k]:
+        cc = concurrent(t, t + g)
+        print(f"  {g/1e9:7.3f} ms @ +{(t-lo)/1e9:7.3f}  after "
+              f"{pn[:70]}\n           before {nn[:70]}")
+        for c in cc[:4]:
+            print(f"           concurrent {c}")
+
+    # aggregate: gap time by (prev -> next) pair to expose per-iteration
+    # recurring stalls
+    agg = defaultdict(lambda: [0.0, 0])
+    for g, t, pn, nn in gaps:
+        key = (pn[:60], nn[:60])
+        agg[key][0] += g
+        agg[key][1] += 1
+    print("\nrecurring stalls (summed over the window):")
+    for (pn, nn), (tot, cnt) in sorted(
+        agg.items(), key=lambda kv: -kv[1][0]
+    )[:top_k]:
+        print(f"  {tot/1e9:7.3f} ms x{cnt:3d}  {pn} -> {nn}")
+
+
+def main():
+    model_name = sys.argv[1] if len(sys.argv) > 1 else "camliraft"
+    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    top_k = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+
+    events, _, module_ms = collect_events(model_name, n_frames)
     if not events:
         print("no device events found; planes:",
               [p.name for p in space.planes])
@@ -112,4 +208,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:2] == ["gaps"]:
+        cmd_gaps(
+            *(sys.argv[2:3] or ["camliraft"]),
+            *(int(a) for a in sys.argv[3:5]),
+        )
+    else:
+        main()
