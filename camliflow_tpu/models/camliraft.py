@@ -136,6 +136,24 @@ class FusedUpdateBlock(nn.Module):
             ),
         )
 
+    def pallas_params_3d(self):
+        """Loop-invariant MLP operands for the fused 3D update-chain
+        kernels (ops/pallas_update3d.py). Apply-time only."""
+        from ..ops.pallas_update3d import (
+            prepare_gru_flowhead_3d_params,
+            prepare_motion_encoder_3d_params,
+        )
+
+        return (
+            prepare_motion_encoder_3d_params(
+                self.motion_encoder_3d.variables["params"]
+            ),
+            prepare_gru_flowhead_3d_params(
+                self.gru_3d.variables["params"],
+                self.flow_head_3d.variables["params"],
+            ),
+        )
+
     def upsample(self, h_2d, flow_2d, flow_3d, consts):
         flow_2d_up = self.convex_upsampler(h_2d, flow_2d)
         flow_3d_up = jnp.sum(
@@ -169,6 +187,7 @@ class FusedUpdateBlock(nn.Module):
         corr_3d = self.correlation_3d(
             xyz1, xyz2_warp_full, level_sizes, consts["pyramid_3d"],
             fast=self.fast_inference,
+            pyramid_scale=consts.get("pyramid_3d_scale"),
         )
         interp_cache = consts["interp_cache_uv1"]
         if self.fuse_corr:
@@ -188,10 +207,19 @@ class FusedUpdateBlock(nn.Module):
             )
         else:
             motion_2d = self.motion_encoder_2d(flow_2d, corr_2d)
-        motion_3d = self.motion_encoder_3d(
-            xyz1, flow_3d, corr_3d, knn_indices, dw=dw.get("motion_encoder"),
-            fast=self.fast_inference,
-        )
+        use_pallas_3d = "me3d_params" in consts
+        if use_pallas_3d:
+            from ..ops.pallas_update3d import motion_encoder_3d_pallas
+
+            motion_3d = motion_encoder_3d_pallas(
+                flow_3d, corr_3d, knn_indices, dw["motion_encoder"],
+                consts["me3d_params"],
+            )
+        else:
+            motion_3d = self.motion_encoder_3d(
+                xyz1, flow_3d, corr_3d, knn_indices,
+                dw=dw.get("motion_encoder"), fast=self.fast_inference,
+            )
         if self.fuse_motion:
             motion_2d, motion_3d = self.clfm_motion(
                 uv1, motion_2d, motion_3d, interp_cache=interp_cache
@@ -212,14 +240,28 @@ class FusedUpdateBlock(nn.Module):
             h_2d = self.gru_2d(
                 h_2d, jnp.concatenate([consts["x_2d"], motion_2d], axis=-1)
             )
-        h_3d = self.gru_3d(
-            xyz1,
-            h_3d,
-            jnp.concatenate([consts["x_3d"], motion_3d], axis=-1),
-            knn_indices,
-            dw=dw.get("gru"),
-            fast=self.fast_inference,
-        )
+        fuse_gru_head_3d = use_pallas_3d and not self.fuse_hidden
+        if fuse_gru_head_3d:
+            from ..ops.pallas_update3d import gru_flowhead_3d_pallas
+
+            dw3 = {
+                **dw["gru"],
+                "flow_conv1": dw["flow_head"]["conv1"],
+                "flow_conv2": dw["flow_head"]["conv2"],
+            }
+            h_3d, delta_3d_fused = gru_flowhead_3d_pallas(
+                h_3d, consts["x_3d"], motion_3d, knn_indices, dw3,
+                consts["gf3d_params"],
+            )
+        else:
+            h_3d = self.gru_3d(
+                xyz1,
+                h_3d,
+                jnp.concatenate([consts["x_3d"], motion_3d], axis=-1),
+                knn_indices,
+                dw=dw.get("gru"),
+                fast=self.fast_inference,
+            )
         if self.fuse_hidden:
             h_2d, h_3d = self.clfm_hidden(
                 uv1, h_2d, h_3d, interp_cache=interp_cache
@@ -229,9 +271,13 @@ class FusedUpdateBlock(nn.Module):
         delta_2d = delta_2d_fused if fuse_gru_head else self.flow_head_2d(h_2d)
         flow_2d = flow_2d + delta_2d
 
-        delta_3d = self.flow_head_3d(
-            xyz1, h_3d, knn_indices, dw=dw.get("flow_head"),
-            fast=self.fast_inference,
+        delta_3d = (
+            delta_3d_fused
+            if fuse_gru_head_3d
+            else self.flow_head_3d(
+                xyz1, h_3d, knn_indices, dw=dw.get("flow_head"),
+                fast=self.fast_inference,
+            )
         )
         flow_3d = flow_3d + delta_3d.astype(jnp.float32)
 
@@ -411,25 +457,42 @@ class CamLiRAFTCore(nn.Module):
             "x_2d": x_2d,
             "x_3d": x_3d,
             "pyramid_2d": pyramid_2d,
-            # concatenated once here — the scan body must not rebuild it.
-            # Fast path: stored bf16 — the selection kernel re-reads the
-            # whole [N, sum(m_l)] pyramid every iteration (~130 MB f32 at
-            # 4096 x 7936), and only the extracted cost values round
-            # (selection distances stay f32).
-            "pyramid_3d": jnp.concatenate(pyramid_3d, axis=-1).astype(
-                jnp.bfloat16 if fast else jnp.float32
-            ),
             "knn_indices": knn_indices,
             "up_idx": up_idx,
             "up_weights": up_weights,
             "interp_cache_uv1": cache_uv1,
         }
+        # concatenated once here — the scan body must not rebuild it.
+        # Fast path: stored int8 with per-row scales — the selection kernel
+        # re-reads the whole [N, sum(m_l)] pyramid every iteration (~130 MB
+        # f32 at 4096 x 7936); selection is distance-driven (unaffected),
+        # only the extracted costs round (max|row|/254, like the 2D volume).
+        pyramid_3d_cat = jnp.concatenate(pyramid_3d, axis=-1)
+        if fast:
+            from ..ops.geometry import quantize_rows_int8
+
+            consts["pyramid_3d"], consts["pyramid_3d_scale"] = (
+                quantize_rows_int8(pyramid_3d_cat)
+            )
+        else:
+            consts["pyramid_3d"] = pyramid_3d_cat
         # hoist loop-invariant PointConvDW geometric weights out of the scan
         consts["dw"] = update.precompute(xyz1, knn_indices, train=train)
         if fast and not self.is_initializing():
             # fused 2D update-chain kernel weights (bf16 reshapes, hoisted
             # out of the scan); at init the exact path creates the params
             consts["me_params"], consts["gf_params"] = update.pallas_params_2d()
+            # fused 3D chain: VMEM budget bounds N (the k=32 dw blocks are
+            # [N, 32, 128] — ~55 MB total int8 at 4096). The hoisted dw
+            # weights are int8-quantised with the per-channel scale folded
+            # into the conv MLP params (free dequant).
+            if xyz1.shape[1] <= 4096:
+                from ..ops.pallas_update3d import quantize_dw_int8
+
+                me3, gf3 = update.pallas_params_3d()
+                consts["dw"], consts["me3d_params"], consts["gf3d_params"] = (
+                    quantize_dw_int8(consts["dw"], me3, gf3)
+                )
         if self.profile_stage == "volumes":
             # consume every const fully so XLA cannot dead-code any of the
             # volume/cache construction

@@ -132,6 +132,7 @@ class Correlation3D(nn.Module):
         pyramid: list[jax.Array] | jax.Array,
         train: bool = False,
         fast: bool = False,
+        pyramid_scale: jax.Array | None = None,
     ) -> jax.Array:
         """`fast=True` routes the selection through the prefix-level Pallas
         KNN kernel (inference only — no VJP); both paths produce the same
@@ -139,7 +140,10 @@ class Correlation3D(nn.Module):
 
         `pyramid` may be the per-level list or the pre-concatenated
         [B, N, sum(level_sizes)] array — refinement loops should concatenate
-        ONCE outside the scan (the in-loop concat costs ~63 MB/iter)."""
+        ONCE outside the scan (the in-loop concat costs ~63 MB/iter). On the
+        fast path it may be int8-quantised (quantize_rows_int8) with
+        `pyramid_scale` [B, N, 1]: selection is distance-driven (unaffected)
+        and the extracted costs are dequantised per query row."""
         if isinstance(pyramid, (list, tuple)):
             pyramid = jnp.concatenate(pyramid, axis=-1)
         n_levels = len(level_sizes)
@@ -166,6 +170,8 @@ class Correlation3D(nn.Module):
             knn_cost = jnp.take_along_axis(
                 pyramid, idx_cat + jnp.asarray(offsets[None, None, :]), axis=2
             )
+        if pyramid_scale is not None:
+            knn_cost = knn_cost.astype(jnp.float32) * pyramid_scale
         knn_xyz2 = gather_points(xyz2_warp_full, idx_cat)  # [B, N, L*k, 3]
         payload = jnp.concatenate(
             [
@@ -382,6 +388,7 @@ class UpdateBlock3D(nn.Module):
         corr = self.correlation(
             xyz1, xyz2_warp_full, level_sizes, consts["pyramid"], train=train,
             fast=self.fast_inference,
+            pyramid_scale=consts.get("pyramid_scale"),
         )
         motion = self.motion_encoder(
             xyz1, flow, corr, consts["knn_indices"], train=train,
@@ -457,16 +464,23 @@ class CamLiRAFTLCore(nn.Module):
         consts = {
             "xyz1": xyz1,
             "xyzs2": xyzs2,
-            # concatenated once here — the scan body must not rebuild it.
-            # Fast path: stored bf16 — the selection kernel re-reads the
-            # whole [N, sum(m_l)] pyramid every iteration; only the
-            # extracted cost values round (selection distances stay f32).
-            "pyramid": jnp.concatenate(pyramid, axis=-1).astype(
-                jnp.bfloat16 if update.fast_inference else jnp.float32
-            ),
             "knn_indices": knn_indices,
             "x": x,
         }
+        # concatenated once here — the scan body must not rebuild it.
+        # Fast path: stored int8 with per-row scales — the selection kernel
+        # re-reads the whole [N, sum(m_l)] pyramid every iteration; selection
+        # is distance-driven (unaffected), only the extracted cost values
+        # round (max|row|/254, same scheme as the 2D int8 volume).
+        pyramid_cat = jnp.concatenate(pyramid, axis=-1)
+        if update.fast_inference:
+            from ..ops.geometry import quantize_rows_int8
+
+            consts["pyramid"], consts["pyramid_scale"] = quantize_rows_int8(
+                pyramid_cat
+            )
+        else:
+            consts["pyramid"] = pyramid_cat
         # hoist the loop-invariant PointConvDW geometric weights out of the
         # scan: their inputs (xyz1, knn_indices) are constant across iterations
         consts["dw"] = update.precompute(xyz1, knn_indices, train=train)

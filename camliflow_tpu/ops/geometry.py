@@ -79,6 +79,23 @@ def k_nearest_neighbor(input_xyz: jax.Array, query_xyz: jax.Array, k: int) -> ja
     return knn_from_dists(dists, k)
 
 
+def quantize_rows_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantisation along the LAST axis.
+
+    Returns (q int8, scale f32 with a trailing 1-axis) with
+    x ≈ q * scale, scale = max|row| / 127. Used for loop-constant cost
+    volumes on the fast-inference path (the int8 values are exact in any
+    float dtype, so selection/extraction stays exact; only the final
+    dequantised magnitude rounds — max error scale/2 = max|row|/254).
+    Forward-only (no useful gradient). Same scheme as the 2D volume's
+    `pad_pyramid_for_lookup(storage="int8")`.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    q = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
 @functools.cache
 def _on_tpu() -> bool:
     try:

@@ -90,6 +90,19 @@ def test_domain_alignment_identity_stats(eval_setup):
     )
 
 
+def test_fast_path_matches_exact(eval_setup):
+    """fast_inference='on' (Pallas selection + int8 pyramid with per-row
+    scales) vs the exact path, full model on tiny shapes."""
+    cfgs, inputs, model, variables = eval_setup
+    out_exact = model.apply(variables, inputs)
+    fast_cfgs = Config({**cfgs.to_dict(), "fast_inference": "on"})
+    model_fast = m.CamLiRAFTL(cfgs=fast_cfgs, train_mode=False)
+    out_fast = model_fast.apply(variables, inputs)
+    d = np.max(np.abs(np.asarray(out_fast["flow_3d"] - out_exact["flow_3d"])))
+    s = np.max(np.abs(np.asarray(out_exact["flow_3d"])))
+    assert d <= max(0.02, 0.02 * s), (d, s)
+
+
 def test_is_better():
     assert m.is_better({"epe3d": 1.0}, None)
     assert m.is_better({"epe3d": 1.0}, {"epe3d": 2.0})

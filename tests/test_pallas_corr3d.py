@@ -67,6 +67,21 @@ def test_selection_matches_xla_path(rng, k):
         np.asarray(cost16), np.asarray(got_cost), rtol=1e-2, atol=1e-2
     )
 
+    # int8 pyramid storage (fast path): selection identical; extracted costs
+    # dequantise to within the documented max|row|/254 envelope
+    from camliflow_tpu.ops.geometry import quantize_rows_int8
+
+    q, scale = quantize_rows_int8(cv)
+    idx8, cost8 = correlation3d_knn_pallas(
+        xyz1, xyz2, q, tuple(level_sizes), k=k, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx8), got_np)
+    np.testing.assert_allclose(
+        np.asarray(cost8) * np.asarray(scale),
+        np.asarray(got_cost),
+        atol=float(np.max(np.asarray(scale))) / 2 + 1e-7,
+    )
+
 
 def test_module_fast_path_matches(rng):
     """Correlation3D(fast=True) == Correlation3D(fast=False) end to end."""
@@ -95,6 +110,23 @@ def test_module_fast_path_matches(rng):
         pallas_corr3d.correlation3d_knn_pallas = orig
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(slow), rtol=1e-4, atol=1e-5
+    )
+
+    # int8 pyramid + per-row scale (what the refinement cores store on the
+    # fast path): same outputs within the quantisation envelope
+    from camliflow_tpu.ops.geometry import quantize_rows_int8
+
+    q, scale = quantize_rows_int8(jnp.concatenate(pyramid, axis=-1))
+    pallas_corr3d.correlation3d_knn_pallas = interp
+    try:
+        fast8 = module.apply(
+            variables, xyz1, xyz2, level_sizes, q, fast=True,
+            pyramid_scale=scale,
+        )
+    finally:
+        pallas_corr3d.correlation3d_knn_pallas = orig
+    np.testing.assert_allclose(
+        np.asarray(fast8), np.asarray(slow), rtol=1e-2, atol=5e-2
     )
 
 

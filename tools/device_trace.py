@@ -93,11 +93,33 @@ def cmd_gaps(model_name="camliraft", n_frames=2, top_k=30):
     print(f"while window {(hi-lo)/1e9:.2f} ms; module "
           f"{module_ms/n_frames:.2f} ms/frame")
 
-    # per-line busy time inside the window
+    # per-line busy time inside the window. Trace lines are hierarchical
+    # (the while event and fusion groups CONTAIN their member ops), so keep
+    # only LEAF events: drop any event that fully contains another.
+    def leaves(evts):
+        iv = sorted(
+            ((s, s + d, n) for n, s, d in evts if not n.startswith("%while")),
+            key=lambda t: (t[0], -t[1]),
+        )
+        # innermost filter: reversed sweep — an event contains another iff
+        # some other event with s' >= s has e' < e
+        kept = []
+        import bisect
+
+        ends = []
+        for s, e, n in reversed(iv):
+            pos = bisect.bisect_left(ends, e)
+            contains = pos > 0  # some already-seen event (s' >= s) has e' < e
+            # equal ranges: treat duplicates as leaves
+            if not contains:
+                kept.append((s, e, n))
+            bisect.insort(ends, e)
+        kept.reverse()
+        return kept
+
     def clip(evts):
         out = []
-        for n, s, d in evts:
-            e = s + d
+        for s, e, n in leaves(evts):
             cs, ce = max(s, lo), min(e, hi)
             if ce > cs:
                 out.append((n, cs, ce))
