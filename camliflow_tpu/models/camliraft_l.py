@@ -371,6 +371,24 @@ class UpdateBlock3D(nn.Module):
             )
         return dw
 
+    def pallas_params(self):
+        """Loop-invariant MLP operands for the fused 3D update-chain
+        kernels (ops/pallas_update3d.py). Apply-time only."""
+        from ..ops.pallas_update3d import (
+            prepare_gru_flowhead_3d_params,
+            prepare_motion_encoder_3d_params,
+        )
+
+        return (
+            prepare_motion_encoder_3d_params(
+                self.motion_encoder.variables["params"]
+            ),
+            prepare_gru_flowhead_3d_params(
+                self.gru.variables["params"],
+                self.flow_head.variables["params"],
+            ),
+        )
+
     def __call__(self, carry, consts, train: bool = False):
         h, flow = carry
         xyz1 = consts["xyz1"]
@@ -390,23 +408,44 @@ class UpdateBlock3D(nn.Module):
             fast=self.fast_inference,
             pyramid_scale=consts.get("pyramid_scale"),
         )
-        motion = self.motion_encoder(
-            xyz1, flow, corr, consts["knn_indices"], train=train,
-            dw=dw.get("motion_encoder"), fast=self.fast_inference,
-        )
-        h = self.gru(
-            xyz1,
-            h,
-            jnp.concatenate([consts["x"], motion], axis=-1),
-            consts["knn_indices"],
-            train=train,
-            dw=dw.get("gru"),
-            fast=self.fast_inference,
-        )
-        delta = self.flow_head(
-            xyz1, h, consts["knn_indices"], train=train,
-            dw=dw.get("flow_head"), fast=self.fast_inference,
-        )
+        if "me3d_params" in consts:
+            # fused VMEM-resident update chain (ops/pallas_update3d.py)
+            from ..ops.pallas_update3d import (
+                gru_flowhead_3d_pallas,
+                motion_encoder_3d_pallas,
+            )
+
+            motion = motion_encoder_3d_pallas(
+                flow, corr, consts["knn_indices"], dw["motion_encoder"],
+                consts["me3d_params"],
+            )
+            h, delta = gru_flowhead_3d_pallas(
+                h, consts["x"], motion, consts["knn_indices"],
+                {
+                    **dw["gru"],
+                    "flow_conv1": dw["flow_head"]["conv1"],
+                    "flow_conv2": dw["flow_head"]["conv2"],
+                },
+                consts["gf3d_params"],
+            )
+        else:
+            motion = self.motion_encoder(
+                xyz1, flow, corr, consts["knn_indices"], train=train,
+                dw=dw.get("motion_encoder"), fast=self.fast_inference,
+            )
+            h = self.gru(
+                xyz1,
+                h,
+                jnp.concatenate([consts["x"], motion], axis=-1),
+                consts["knn_indices"],
+                train=train,
+                dw=dw.get("gru"),
+                fast=self.fast_inference,
+            )
+            delta = self.flow_head(
+                xyz1, h, consts["knn_indices"], train=train,
+                dw=dw.get("flow_head"), fast=self.fast_inference,
+            )
         flow = flow + delta.astype(jnp.float32)
         return (h, flow), flow
 
@@ -484,6 +523,15 @@ class CamLiRAFTLCore(nn.Module):
         # hoist the loop-invariant PointConvDW geometric weights out of the
         # scan: their inputs (xyz1, knn_indices) are constant across iterations
         consts["dw"] = update.precompute(xyz1, knn_indices, train=train)
+        if update.fast_inference and not self.is_initializing():
+            # fused update-chain kernels with int8 dw (scales folded into
+            # the conv MLP params); at init the exact path creates params
+            from ..ops.pallas_update3d import quantize_dw_int8
+
+            me3, gf3 = update.pallas_params()
+            consts["dw"], consts["me3d_params"], consts["gf3d_params"] = (
+                quantize_dw_int8(consts["dw"], me3, gf3)
+            )
         scan = nn.scan(
             lambda mdl, carry, c: mdl(carry, c, train),
             variable_broadcast="params",
