@@ -486,9 +486,9 @@ class CamLiRAFTCore(nn.Module):
             # [N, 32, 128] — ~55 MB total int8 at 4096). The hoisted dw
             # weights are int8-quantised with the per-channel scale folded
             # into the conv MLP params (free dequant).
-            if xyz1.shape[1] <= 4096:
-                from ..ops.pallas_update3d import quantize_dw_int8
+            from ..ops.pallas_update3d import quantize_dw_int8, update3d_enabled
 
+            if xyz1.shape[1] <= 4096 and update3d_enabled():
                 me3, gf3 = update.pallas_params_3d()
                 consts["dw"], consts["me3d_params"], consts["gf3d_params"] = (
                     quantize_dw_int8(consts["dw"], me3, gf3)

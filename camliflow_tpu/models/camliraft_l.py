@@ -523,11 +523,15 @@ class CamLiRAFTLCore(nn.Module):
         # hoist the loop-invariant PointConvDW geometric weights out of the
         # scan: their inputs (xyz1, knn_indices) are constant across iterations
         consts["dw"] = update.precompute(xyz1, knn_indices, train=train)
-        if update.fast_inference and not self.is_initializing():
+        from ..ops.pallas_update3d import quantize_dw_int8, update3d_enabled
+
+        if (
+            update.fast_inference
+            and not self.is_initializing()
+            and update3d_enabled()
+        ):
             # fused update-chain kernels with int8 dw (scales folded into
             # the conv MLP params); at init the exact path creates params
-            from ..ops.pallas_update3d import quantize_dw_int8
-
             me3, gf3 = update.pallas_params()
             consts["dw"], consts["me3d_params"], consts["gf3d_params"] = (
                 quantize_dw_int8(consts["dw"], me3, gf3)

@@ -29,6 +29,7 @@ chain, and the on-hardware numerics gate guards the envelope.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .geometry import _on_tpu
+
+
+def update3d_enabled() -> bool:
+    """Trace-time switch for the fused 3D update kernels.
+
+    Default OFF until the `tpu.dynamic_gather` lowering is validated on real
+    hardware (interpret-mode tests cannot catch a Mosaic lowering gap);
+    export CAMLIFLOW_UPDATE3D=1 to opt in. Flipped to default-on once the
+    on-chip probe + numerics gate pass.
+    """
+    return os.environ.get("CAMLIFLOW_UPDATE3D", "0") != "0"
 
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16

@@ -18,6 +18,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# CI always exercises the fused 3D update kernels (interpret mode on CPU);
+# the env default only guards unvalidated Mosaic lowering on real chips.
+os.environ.setdefault("CAMLIFLOW_UPDATE3D", "1")
+
 import numpy as np
 import pytest
 
