@@ -84,12 +84,15 @@ def _matmul(x, w_ref, b_ref=None, *, act=None, parts=None):
 
 
 def _dw_conv(table, idx_ref, dw_ref, k: int):
-    """max_j gather(table, idx[:, j]) * dw[:, j, :]  — all in VMEM.
+    """max_j gather(table, idx[:, j]) * dw[j]  — all in VMEM.
 
     table: [N, C] bf16 (the conv's per-point MLP output).
     idx_ref: [1, N, >=k] int32 neighbour indices (prefix-sliced to k).
-    dw_ref: [1, N, k, C] geometric weights — bf16, or int8 whose per-channel
-      scale has been folded into the conv's MLP params by
+    dw_ref: [1, k, N, C] geometric weights in KERNEL layout (k leading so
+      each tap slice is a contiguous [N, C] slab of full vregs — the
+      [N, k, C] precompute layout would make every slice sublane-strided;
+      `to_kernel_layout` transposes once outside the scan) — bf16, or int8
+      whose per-channel scale has been folded into the conv's MLP params by
       `quantize_dw_int8` (int8 halves the per-iteration HBM re-read of the
       hoisted weights; values up to ±127 are exact in bf16).
     Returns [N, C] bf16 (bit-matching the XLA fast path's bf16 mul+max).
@@ -98,9 +101,17 @@ def _dw_conv(table, idx_ref, dw_ref, k: int):
     for j in range(k):
         col = jnp.broadcast_to(idx_ref[0, :, j][:, None], table.shape)
         g = jnp.take_along_axis(table, col, axis=0)
-        t = g * dw_ref[0, :, j, :].astype(_BF16)
+        t = g * dw_ref[0, j].astype(_BF16)
         acc = t if acc is None else jnp.maximum(acc, t)
     return acc
+
+
+def to_kernel_layout(dw):
+    """[B, N, k, C] precompute layout -> [B, k, N, C] kernel layout, applied
+    to every leaf. Call OUTSIDE the refinement scan (loop-invariant)."""
+    return jax.tree_util.tree_map(
+        lambda w: jnp.transpose(w, (0, 2, 1, 3)), dw
+    )
 
 
 def quantize_dw_int8(dw: dict, me_params: tuple, gf_params: tuple):
@@ -116,7 +127,8 @@ def quantize_dw_int8(dw: dict, me_params: tuple, gf_params: tuple):
 
     Returns (dw_quantised, me_params', gf_params') matching
     `prepare_motion_encoder_3d_params` / `prepare_gru_flowhead_3d_params`
-    layout.
+    layout. The quantised dw comes back in KERNEL layout ([B, k, N, C],
+    `to_kernel_layout`) — it feeds only the fused kernels.
     """
 
     def quant(w):
@@ -148,7 +160,7 @@ def quantize_dw_int8(dw: dict, me_params: tuple, gf_params: tuple):
     dw_q["motion_encoder"] = me
     dw_q["gru"] = gru
     dw_q["flow_head"] = fh
-    return dw_q, me_params, gf_params
+    return to_kernel_layout(dw_q), me_params, gf_params
 
 
 # ---------------------------------------------------------------------------
@@ -243,8 +255,9 @@ def motion_encoder_3d_pallas(
       flow: [B, N, 3] f32 current 3D flow.
       corr: [B, N, 128] f32 correlation features.
       knn_indices: [B, N, >=32] int32 (k-prefixes per conv).
-      dw: hoisted geometric weights {conv_c1 [B,N,16,128], conv_f1
-        [B,N,32,32], conv_f2 [B,N,16,16], conv [B,N,16,125]} (bf16).
+      dw: hoisted geometric weights in kernel layout (`to_kernel_layout`):
+        {conv_c1 [B,16,N,128], conv_f1 [B,32,N,32], conv_f2 [B,16,N,16],
+        conv [B,16,N,125]}, bf16 or int8.
       params: `prepare_motion_encoder_3d_params` output.
     Returns:
       [B, N, 128] f32 motion features (conv output || flow).
@@ -368,8 +381,9 @@ def gru_flowhead_3d_pallas(
       x3d: [B, N, Cx] context features (loop const).
       motion: [B, N, Cm] motion features.
       knn_indices: [B, N, >=32] int32.
-      dw: hoisted geometric weights {conv_zr [B,N,4,2*Ch], conv_q
-        [B,N,4,Ch], flow_conv1 [B,N,32,128], flow_conv2 [B,N,32,64]} (bf16).
+      dw: hoisted geometric weights in kernel layout (`to_kernel_layout`):
+        {conv_zr [B,4,N,2*Ch], conv_q [B,4,N,Ch], flow_conv1 [B,32,N,128],
+        flow_conv2 [B,32,N,64]}, bf16 or int8.
       params: `prepare_gru_flowhead_3d_params` output.
     Returns:
       (h' [B, N, Ch] f32, delta [B, N, 3] f32).

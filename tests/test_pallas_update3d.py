@@ -20,6 +20,7 @@ from camliflow_tpu.ops.pallas_update3d import (
     motion_encoder_3d_pallas,
     prepare_gru_flowhead_3d_params,
     prepare_motion_encoder_3d_params,
+    to_kernel_layout,
 )
 
 
@@ -44,10 +45,12 @@ def test_motion_encoder_3d_fused(rng):
     variables = module.init(jax.random.PRNGKey(0), xyz, flow, corr, knn)
     want = module.apply(variables, xyz, flow, corr, knn, fast=True)
 
-    dw, _ = module.apply(
+    dw = module.apply(
         variables, xyz, knn, method=MotionEncoder3D.precompute_weights
-    ), None
-    dw = jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), dw)
+    )
+    dw = to_kernel_layout(
+        jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), dw)
+    )
     params = prepare_motion_encoder_3d_params(variables["params"])
     got = motion_encoder_3d_pallas(flow, corr, knn, dw, params)
 
@@ -82,7 +85,9 @@ def test_gru_flowhead_3d_fused(rng):
             ).items()
         },
     }
-    dw = jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), dw)
+    dw = to_kernel_layout(
+        jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), dw)
+    )
     params = prepare_gru_flowhead_3d_params(
         gvars["params"], hvars["params"]
     )
@@ -132,10 +137,12 @@ def test_int8_dw_quantisation(rng):
         gvars["params"], hvars["params"]
     )
 
-    def run(dw, me_p, gf_p):
+    def run(dw, me_p, gf_p, kernel_layout=False):
         dwb = jax.tree_util.tree_map(
             lambda w: w if w.dtype == jnp.int8 else w.astype(jnp.bfloat16), dw
         )
+        if not kernel_layout:
+            dwb = to_kernel_layout(dwb)
         motion = motion_encoder_3d_pallas(
             flow, corr, knn, dwb["motion_encoder"], me_p
         )
@@ -151,7 +158,7 @@ def test_int8_dw_quantisation(rng):
     for tree in ("motion_encoder", "gru", "flow_head"):
         for v in dw_q[tree].values():
             assert v.dtype == jnp.int8
-    h_got, d_got = run(dw_q, me_q, gf_q)
+    h_got, d_got = run(dw_q, me_q, gf_q, kernel_layout=True)
 
     np.testing.assert_allclose(
         np.asarray(h_got), np.asarray(h_ref), rtol=3e-2, atol=3e-2
