@@ -152,9 +152,12 @@ class Correlation3D(nn.Module):
 
             # indices + selected costs in one kernel (the cost rides the
             # selection mask; an XLA take_along_axis here is 131K
-            # single-float gathers at ~1.5 ms/iter)
+            # single-float gathers at ~1.5 ms/iter). approx=True: bf16
+            # kernel passes — selection flips only between bf16-tied
+            # neighbours and the per-level k-sum is order-invariant
             idx_cat, knn_cost = correlation3d_knn_pallas(
-                xyz1, xyz2_warp_full, pyramid, tuple(level_sizes), k=self.k
+                xyz1, xyz2_warp_full, pyramid, tuple(level_sizes), k=self.k,
+                approx=True,
             )  # [B, N, L*k] each
         else:
             from ..ops.geometry import knn_from_dists, squared_distance

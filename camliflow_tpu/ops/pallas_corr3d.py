@@ -53,6 +53,7 @@ def _corr3d_knn_kernel(
     *,
     level_sizes,
     k,
+    compute_dtype=jnp.float32,
 ):
     """Chunked prefix selection.
 
@@ -80,7 +81,12 @@ def _corr3d_knn_kernel(
     )
     d_full = d_full + jnp.sum(q * q, axis=-1)[:, None]
     d_full = d_full + jnp.sum(p * p, axis=-1)[None, :]
-    dist_ref[...] = d_full
+    # approx mode stores bf16 distances: every subsequent scan/extract pass
+    # runs at half the vreg count. Selection can flip only between
+    # bf16-equal (near-tied) neighbours, and the per-level cost/payload sum
+    # is order-invariant within a level (camliraft_l.py:192), so only
+    # k-boundary swaps of near-equidistant points differ.
+    dist_ref[...] = d_full.astype(compute_dtype)
 
     sizes = list(level_sizes)  # descending
     bounds = [0] + sizes[::-1]  # ascending chunk boundaries
@@ -107,14 +113,16 @@ def _corr3d_knn_kernel(
                 # halve the per-iteration HBM re-read); converted once at
                 # load — selection is distance-driven either way, only the
                 # extracted cost values round under bf16 storage
+                # int8-stored costs are exact in bf16 too (|v| <= 127), so
+                # the approx mode's bf16 extraction stays lossless there
                 pyrs.append(
-                    (l, pyr_ref[0, :, off + lo : off + hi].astype(jnp.float32))
+                    (l, pyr_ref[0, :, off + lo : off + hi].astype(compute_dtype))
                 )
             off += sizes[l]
 
-        d_sel = jnp.full((n_queries, k), jnp.inf, jnp.float32)
+        d_sel = jnp.full((n_queries, k), jnp.inf, compute_dtype)
         i_sel = jnp.full((n_queries, k), 0, jnp.int32)
-        c_sel = {l: jnp.zeros((n_queries, k), jnp.float32) for l, _ in pyrs}
+        c_sel = {l: jnp.zeros((n_queries, k), compute_dtype) for l, _ in pyrs}
 
         def body(j, state, lo=lo, hi=hi, cols=cols, pyrs=pyrs):
             d_sel, i_sel, c_sel = state
@@ -130,12 +138,17 @@ def _corr3d_knn_kernel(
             c_sel = {
                 l: jnp.where(
                     lane_k == j,
-                    jnp.sum(jnp.where(mask, pyr, 0.0), axis=1, keepdims=True),
+                    jnp.sum(
+                        jnp.where(mask, pyr, jnp.zeros_like(pyr)),
+                        axis=1, keepdims=True,
+                    ).astype(compute_dtype),
                     c_sel[l],
                 )
                 for l, pyr in pyrs
             }
-            dist_ref[:, lo:hi] = jnp.where(mask, jnp.inf, d)
+            dist_ref[:, lo:hi] = jnp.where(
+                mask, jnp.asarray(jnp.inf, compute_dtype), d
+            )
             return d_sel, i_sel, c_sel
 
         n_steps = min(k, width)
@@ -170,20 +183,27 @@ def _corr3d_knn_kernel(
                 )
                 mask = (d == dmin) & (cand_i == sel_i)
                 sel_c = jnp.sum(
-                    jnp.where(mask, cand_c, 0.0), axis=1, keepdims=True
+                    jnp.where(mask, cand_c, jnp.zeros_like(cand_c)),
+                    axis=1, keepdims=True,
                 )
                 acc_ref[...] = jnp.where(lane_k == j, sel_i, acc_ref[...])
                 cost_acc_ref[...] = jnp.where(
                     lane_k == j, sel_c, cost_acc_ref[...]
                 )
-                return (jnp.where(mask, jnp.inf, d),)
+                return (
+                    jnp.where(mask, jnp.asarray(jnp.inf, d.dtype), d),
+                )
 
             jax.lax.fori_loop(0, k, merge, (cand_d,))
         idx_out_ref[0, :, l * k : (l + 1) * k] = acc_ref[...]
-        cost_out_ref[0, :, l * k : (l + 1) * k] = cost_acc_ref[...]
+        cost_out_ref[0, :, l * k : (l + 1) * k] = cost_acc_ref[...].astype(
+            jnp.float32
+        )
 
 
-@functools.partial(jax.jit, static_argnames=("level_sizes", "k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("level_sizes", "k", "interpret", "approx")
+)
 def correlation3d_knn_pallas(
     xyz1: jax.Array,
     xyz2_warp: jax.Array,
@@ -191,6 +211,7 @@ def correlation3d_knn_pallas(
     level_sizes: tuple[int, ...],
     k: int = 16,
     interpret: bool | None = None,
+    approx: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-level prefix KNN selection + cost extraction.
 
@@ -201,14 +222,19 @@ def correlation3d_knn_pallas(
         levels concatenated along columns.
       level_sizes: per-level prefix lengths, descending.
       k: neighbours per level.
+      approx: bf16 distance/cost compute inside the kernel (half the vreg
+        passes). Selection can differ from the exact path only between
+        bf16-tied neighbours; int8-origin costs stay exact. Used by the
+        model fast path (which already runs the int8/bf16 envelope).
     Returns:
-      (indices [B, N, L*k] int32, costs [B, N, L*k] f32). Selection
-      semantics match the XLA path (ascending distance within a level,
-      lowest-index tie-break); the rel_xyz payload is left to one XLA
-      gather (see module docstring).
+      (indices [B, N, L*k] int32, costs [B, N, L*k] f32). With
+      approx=False, selection semantics match the XLA path bit-exactly
+      (ascending distance within a level, lowest-index tie-break); the
+      rel_xyz payload is left to one XLA gather (see module docstring).
     """
     if interpret is None:
         interpret = not _on_tpu()  # CPU runs the interpreter (tests)
+    compute_dtype = jnp.bfloat16 if approx else jnp.float32
     batch, n_queries, _ = xyz1.shape
     m0 = xyz2_warp.shape[1]
     m_total = pyramid_cat.shape[2]
@@ -223,7 +249,8 @@ def correlation3d_knn_pallas(
 
     idx, cost = pl.pallas_call(
         functools.partial(
-            _corr3d_knn_kernel, level_sizes=tuple(level_sizes), k=k
+            _corr3d_knn_kernel, level_sizes=tuple(level_sizes), k=k,
+            compute_dtype=compute_dtype,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, total_n, n_levels * k), jnp.int32),
@@ -256,9 +283,9 @@ def correlation3d_knn_pallas(
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TILE_N, m0), jnp.float32),
+            pltpu.VMEM((_TILE_N, m0), compute_dtype),
             pltpu.VMEM((_TILE_N, k), jnp.int32),
-            pltpu.VMEM((_TILE_N, k), jnp.float32),
+            pltpu.VMEM((_TILE_N, k), compute_dtype),
         ],
         interpret=interpret,
     )(xyz1_p, xyz2_warp, pyr_p)

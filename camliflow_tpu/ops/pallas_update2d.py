@@ -275,6 +275,7 @@ def gru_flowhead_2d_pallas(
 
 def _motion_encoder_kernel(
     flow_ref,
+    flow_patch_ref,
     corr_ref,
     wc1_ref, bc1_ref, wc2_ref, bc2_ref,
     wf1_ref, bf1_ref, wf2_ref, bf2_ref,
@@ -295,12 +296,12 @@ def _motion_encoder_kernel(
     taps3 = _taps(3, 3)
     cf = relu_bf16(_conv_from_shifted(_shifted(cf, taps3, width, masks), wc2_ref, bc2_ref))
 
-    # flow branch: 7x7 then 3x3
-    taps7 = _taps(7, 7)
+    # flow branch: 7x7 then 3x3. The 7x7 runs on an XLA-im2col'd patch
+    # tensor ([HW, 49*2], tap-major) as ONE [HW, 98] x [98, 96] MXU dot —
+    # 49 per-tap dots at K=2 each cost a full MXU pass regardless of K, so
+    # tap-stacking is ~49x fewer passes for the same math.
     ff = relu_bf16(
-        _conv_from_shifted(
-            _shifted(flow.astype(_BF16), taps7, width, masks), wf1_ref, bf1_ref
-        )
+        _conv_from_shifted([flow_patch_ref[0].astype(_BF16)], wf1_ref, bf1_ref)
     )
     ff = relu_bf16(_conv_from_shifted(_shifted(ff, taps3, width, masks), wf2_ref, bf2_ref))
 
@@ -317,11 +318,19 @@ def _motion_encoder_kernel(
 
 
 def prepare_motion_encoder_params(params):
-    """bf16 kernel operands from the `MotionEncoder2D` param tree."""
+    """bf16 kernel operands from the `MotionEncoder2D` param tree.
+
+    conv_f1's 7x7x2 kernel is flattened tap-major to [1, 98, 96] for the
+    single im2col dot (see `_motion_encoder_kernel`)."""
     out = []
     for name in ("conv_c1", "conv_c2", "conv_f1", "conv_f2", "conv"):
         p = params[name]
-        out += [_w3(p["kernel"]), p["bias"].astype(_F32)]
+        if name == "conv_f1":
+            kh, kw, cin, cout = p["kernel"].shape
+            w = p["kernel"].reshape(1, kh * kw * cin, cout).astype(_BF16)
+        else:
+            w = _w3(p["kernel"])
+        out += [w, p["bias"].astype(_F32)]
     return tuple(out)
 
 
@@ -346,6 +355,20 @@ def motion_encoder_2d_pallas(
     hw = height * width
     cout = params[-2].shape[-1] + flow.shape[-1]
 
+    # XLA-side im2col of the 7x7 flow window (tap-major, matching the
+    # [1, 98, 96] conv_f1 weight flatten): one pad + 49 static slices fuse
+    # into a single cheap write, and the kernel's 49 K=2 micro-dots become
+    # one K=98 MXU dot.
+    fp = jnp.pad(flow.astype(_F32), ((0, 0), (3, 3), (3, 3), (0, 0)))
+    flow_patch = jnp.concatenate(
+        [
+            fp[:, dy : dy + height, dx : dx + width, :]
+            for dy in range(7)
+            for dx in range(7)
+        ],
+        axis=-1,
+    )
+
     def flat(x):
         return x.reshape(batch, hw, x.shape[-1])
 
@@ -353,7 +376,7 @@ def motion_encoder_2d_pallas(
         pl.BlockSpec(
             (1, hw, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         )
-        for c in (flow.shape[-1], corr.shape[-1])
+        for c in (flow.shape[-1], flow_patch.shape[-1], corr.shape[-1])
     ]
     w_specs = [
         pl.BlockSpec(p.shape, lambda b, n=p.ndim: (0,) * n, memory_space=pltpu.VMEM)
@@ -371,5 +394,5 @@ def motion_encoder_2d_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(flat(flow.astype(_F32)), flat(corr), *params)
+    )(flat(flow.astype(_F32)), flat(flow_patch), flat(corr), *params)
     return out.reshape(batch, height, width, cout)
