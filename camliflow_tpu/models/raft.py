@@ -162,17 +162,15 @@ class UpdateBlock2D(nn.Module):
             radius=self.corr_radius, storage=self.lookup_storage,
         )
         if use_pallas:
-            from ..ops.pallas_update2d import (
-                gru_flowhead_2d_pallas,
-                motion_encoder_2d_pallas,
-            )
+            from ..ops.pallas_update2d import update_2d_pallas
 
+            # the 2D-only chain has no CLFM between its stages, so the whole
+            # iteration (motion encoder + GRU + flow head) runs as ONE
+            # VMEM-resident kernel — the motion features never touch HBM
             height, width = h.shape[1:3]
-            motion = motion_encoder_2d_pallas(
-                flow, corr, consts["me_params"], height, width
-            )
-            h, delta = gru_flowhead_2d_pallas(
-                h, consts["x"], motion, consts["gf_params"], height, width
+            h, delta = update_2d_pallas(
+                h, consts["x"], flow, corr,
+                consts["me_params"], consts["gf_params"], height, width,
             )
         else:
             motion = self.motion_encoder(flow, corr)

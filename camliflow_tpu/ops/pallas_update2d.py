@@ -122,29 +122,23 @@ def _nan_to_num(x):
 # ---------------------------------------------------------------------------
 
 
-def _gru_flowhead_kernel(
-    h_ref,
-    x2d_ref,
-    motion_ref,
+def _gru_flowhead_body(
+    h,
+    x_parts,
+    x_slices,
     wz1_ref, bz1_ref, wr1_ref, br1_ref, wq1_ref, bq1_ref,
     wz2_ref, bz2_ref, wr2_ref, br2_ref, wq2_ref, bq2_ref,
     wf1_ref, bf1_ref, wf2_ref, bf2_ref,
-    h_out_ref,
-    delta_out_ref,
     *,
     width: int,
+    masks: dict,
 ):
-    h = h_ref[0].astype(_BF16)  # [HW, Ch]
-    x2d = x2d_ref[0].astype(_BF16)  # [HW, Cx1]
-    motion = motion_ref[0].astype(_BF16)  # [HW, Cx2]
-    ch = h.shape[1]
-    cx1 = x2d.shape[1]
-    masks: dict = {}
+    """Separable ConvGRU + flow head on VMEM values.
 
-    # the GRU input is hx = concat(h, x2d, motion); the concat is virtual —
-    # each conv runs as per-block matmuls against weight slices
-    x_parts = (x2d, motion)
-    x_slices = (slice(ch, ch + cx1), slice(ch + cx1, None))
+    `x_parts`/`x_slices`: the non-hidden blocks of the virtual hx concat
+    with their input-channel weight slices (the concat is never formed).
+    Returns (h' bf16, delta f32)."""
+    ch = h.shape[1]
 
     for kh, kw, wz, bz, wr, br, wq, bq in (
         (1, 5, wz1_ref, bz1_ref, wr1_ref, br1_ref, wq1_ref, bq1_ref),
@@ -173,14 +167,43 @@ def _gru_flowhead_kernel(
         h_f32 = (1.0 - z) * h.astype(_F32) + z * q
         h = _nan_to_num(h_f32).astype(_BF16)
 
-    h_out_ref[0] = h.astype(_F32)
-
     # flow head: 3x3 relu 3x3 (raft_core.py:169-181)
     taps3 = _taps(3, 3)
     mid = _conv_from_shifted(_shifted(h, taps3, width, masks), wf1_ref, bf1_ref)
     mid = jnp.maximum(mid, 0.0).astype(_BF16)
     delta = _conv_from_shifted(_shifted(mid, taps3, width, masks), wf2_ref, bf2_ref)
-    delta_out_ref[0] = _nan_to_num(delta)
+    return h, _nan_to_num(delta)
+
+
+def _gru_flowhead_kernel(
+    h_ref,
+    x2d_ref,
+    motion_ref,
+    wz1_ref, bz1_ref, wr1_ref, br1_ref, wq1_ref, bq1_ref,
+    wz2_ref, bz2_ref, wr2_ref, br2_ref, wq2_ref, bq2_ref,
+    wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+    h_out_ref,
+    delta_out_ref,
+    *,
+    width: int,
+):
+    h = h_ref[0].astype(_BF16)  # [HW, Ch]
+    x2d = x2d_ref[0].astype(_BF16)  # [HW, Cx1]
+    motion = motion_ref[0].astype(_BF16)  # [HW, Cx2]
+    ch = h.shape[1]
+    cx1 = x2d.shape[1]
+    h_new, delta = _gru_flowhead_body(
+        h,
+        (x2d, motion),
+        (slice(ch, ch + cx1), slice(ch + cx1, None)),
+        wz1_ref, bz1_ref, wr1_ref, br1_ref, wq1_ref, bq1_ref,
+        wz2_ref, bz2_ref, wr2_ref, br2_ref, wq2_ref, bq2_ref,
+        wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+        width=width,
+        masks={},
+    )
+    h_out_ref[0] = h_new.astype(_F32)
+    delta_out_ref[0] = delta
 
 
 def _w3(kernel):
@@ -273,20 +296,19 @@ def gru_flowhead_2d_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _motion_encoder_kernel(
-    flow_ref,
-    flow_patch_ref,
-    corr_ref,
+def _motion_encoder_body(
+    flow,
+    flow_patch,
+    corr,
     wc1_ref, bc1_ref, wc2_ref, bc2_ref,
     wf1_ref, bf1_ref, wf2_ref, bf2_ref,
     wm_ref, bm_ref,
-    out_ref,
     *,
     width: int,
+    masks: dict,
 ):
-    flow = flow_ref[0]  # [HW, 2] f32
-    corr = corr_ref[0].astype(_BF16)  # [HW, Ccorr]
-    masks: dict = {}
+    """Motion-encoder conv chain on VMEM values; returns the [HW, 126]
+    merge-conv output (the flow concat is the caller's concern)."""
 
     def relu_bf16(x):
         return jnp.maximum(x, 0.0).astype(_BF16)
@@ -300,9 +322,7 @@ def _motion_encoder_kernel(
     # tensor ([HW, 49*2], tap-major) as ONE [HW, 98] x [98, 96] MXU dot —
     # 49 per-tap dots at K=2 each cost a full MXU pass regardless of K, so
     # tap-stacking is ~49x fewer passes for the same math.
-    ff = relu_bf16(
-        _conv_from_shifted([flow_patch_ref[0].astype(_BF16)], wf1_ref, bf1_ref)
-    )
+    ff = relu_bf16(_conv_from_shifted([flow_patch], wf1_ref, bf1_ref))
     ff = relu_bf16(_conv_from_shifted(_shifted(ff, taps3, width, masks), wf2_ref, bf2_ref))
 
     # merge conv over concat(cf, ff) — virtual concat via weight slices
@@ -311,10 +331,90 @@ def _motion_encoder_kernel(
     ff_sh = _shifted(ff, taps3, width, masks)
     acc = _conv_from_shifted(cf_sh, wm_ref, None, cin_slice=slice(0, ccf))
     acc = acc + _conv_from_shifted(ff_sh, wm_ref, None, cin_slice=slice(ccf, None))
-    out = _nan_to_num(jnp.maximum(acc + bm_ref[...].astype(_F32)[None, :], 0.0))
+    return _nan_to_num(jnp.maximum(acc + bm_ref[...].astype(_F32)[None, :], 0.0))
 
+
+def _motion_encoder_kernel(
+    flow_ref,
+    flow_patch_ref,
+    corr_ref,
+    wc1_ref, bc1_ref, wc2_ref, bc2_ref,
+    wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+    wm_ref, bm_ref,
+    out_ref,
+    *,
+    width: int,
+):
+    flow = flow_ref[0]  # [HW, 2] f32
+    out = _motion_encoder_body(
+        flow,
+        flow_patch_ref[0].astype(_BF16),
+        corr_ref[0].astype(_BF16),
+        wc1_ref, bc1_ref, wc2_ref, bc2_ref,
+        wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+        wm_ref, bm_ref,
+        width=width,
+        masks={},
+    )
     # motion = concat(out, flow) (raft_core.py:164-166)
     out_ref[0] = jnp.concatenate([out, flow], axis=1)
+
+
+def _update2d_kernel(
+    flow_ref,
+    flow_patch_ref,
+    corr_ref,
+    h_ref,
+    x2d_ref,
+    wc1_ref, bc1_ref, wc2_ref, bc2_ref,
+    wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+    wm_ref, bm_ref,
+    wz1_ref, bz1_ref, wr1_ref, br1_ref, wq1_ref, bq1_ref,
+    wz2_ref, bz2_ref, wr2_ref, br2_ref, wq2_ref, bq2_ref,
+    wh1_ref, bh1_ref, wh2_ref, bh2_ref,
+    h_out_ref,
+    delta_out_ref,
+    *,
+    width: int,
+):
+    """The full 2D update chain (motion encoder + ConvGRU + flow head) in
+    ONE VMEM-resident pass — used by the 2D-only RAFT model, whose chain has
+    no CLFM between the stages (reference raft_core.py:110-181). The motion
+    features never touch HBM; the GRU consumes (x2d, motion_out, flow) as
+    virtual hx concat blocks."""
+    masks: dict = {}
+    flow = flow_ref[0]  # [HW, 2] f32
+    out = _motion_encoder_body(
+        flow,
+        flow_patch_ref[0].astype(_BF16),
+        corr_ref[0].astype(_BF16),
+        wc1_ref, bc1_ref, wc2_ref, bc2_ref,
+        wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+        wm_ref, bm_ref,
+        width=width,
+        masks=masks,
+    )
+    h = h_ref[0].astype(_BF16)
+    x2d = x2d_ref[0].astype(_BF16)
+    ch = h.shape[1]
+    cx1 = x2d.shape[1]
+    cm = out.shape[1]
+    h_new, delta = _gru_flowhead_body(
+        h,
+        (x2d, out.astype(_BF16), flow.astype(_BF16)),
+        (
+            slice(ch, ch + cx1),
+            slice(ch + cx1, ch + cx1 + cm),
+            slice(ch + cx1 + cm, None),
+        ),
+        wz1_ref, bz1_ref, wr1_ref, br1_ref, wq1_ref, bq1_ref,
+        wz2_ref, bz2_ref, wr2_ref, br2_ref, wq2_ref, bq2_ref,
+        wh1_ref, bh1_ref, wh2_ref, bh2_ref,
+        width=width,
+        masks=masks,
+    )
+    h_out_ref[0] = h_new.astype(_F32)
+    delta_out_ref[0] = delta
 
 
 def prepare_motion_encoder_params(params):
@@ -359,15 +459,7 @@ def motion_encoder_2d_pallas(
     # [1, 98, 96] conv_f1 weight flatten): one pad + 49 static slices fuse
     # into a single cheap write, and the kernel's 49 K=2 micro-dots become
     # one K=98 MXU dot.
-    fp = jnp.pad(flow.astype(_F32), ((0, 0), (3, 3), (3, 3), (0, 0)))
-    flow_patch = jnp.concatenate(
-        [
-            fp[:, dy : dy + height, dx : dx + width, :]
-            for dy in range(7)
-            for dx in range(7)
-        ],
-        axis=-1,
-    )
+    flow_patch = _im2col_flow(flow, height, width)
 
     def flat(x):
         return x.reshape(batch, hw, x.shape[-1])
@@ -396,3 +488,85 @@ def motion_encoder_2d_pallas(
         interpret=interpret,
     )(flat(flow.astype(_F32)), flat(flow_patch), flat(corr), *params)
     return out.reshape(batch, height, width, cout)
+
+
+def _im2col_flow(flow, height, width):
+    """7x7 tap-major im2col of the flow map (see `_motion_encoder_body`)."""
+    fp = jnp.pad(flow.astype(_F32), ((0, 0), (3, 3), (3, 3), (0, 0)))
+    return jnp.concatenate(
+        [
+            fp[:, dy : dy + height, dx : dx + width, :]
+            for dy in range(7)
+            for dx in range(7)
+        ],
+        axis=-1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+def update_2d_pallas(
+    h: jax.Array,
+    x2d: jax.Array,
+    flow: jax.Array,
+    corr: jax.Array,
+    me_params: tuple,
+    gf_params: tuple,
+    height: int,
+    width: int,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Whole 2D update iteration (motion encoder + GRU + flow head) as ONE
+    Pallas kernel — for the 2D-only RAFT chain where no CLFM sits between
+    the stages. Same numerics contract as the split kernels.
+
+    Returns (h' [B, H, W, Ch] f32, delta [B, H, W, 2] f32).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()  # CPU runs the interpreter (tests)
+    batch = flow.shape[0]
+    hw = height * width
+    ch = h.shape[-1]
+    flow_patch = _im2col_flow(flow, height, width)
+    params = tuple(me_params) + tuple(gf_params)
+
+    def flat(x):
+        return x.reshape(batch, hw, x.shape[-1])
+
+    data = [
+        flat(flow.astype(_F32)),
+        flat(flow_patch),
+        flat(corr),
+        flat(h),
+        flat(x2d),
+    ]
+    data_specs = [
+        pl.BlockSpec(
+            (1, hw, a.shape[-1]), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        for a in data
+    ]
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda b, n=p.ndim: (0,) * n, memory_space=pltpu.VMEM)
+        for p in params
+    ]
+    h_out, delta = pl.pallas_call(
+        functools.partial(_update2d_kernel, width=width),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, hw, ch), _F32),
+            jax.ShapeDtypeStruct((batch, hw, 2), _F32),
+        ),
+        grid=(batch,),
+        in_specs=data_specs + w_specs,
+        out_specs=(
+            pl.BlockSpec((1, hw, ch), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hw, 2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*data, *params)
+    return (
+        h_out.reshape(batch, height, width, ch),
+        delta.reshape(batch, height, width, 2),
+    )
