@@ -136,6 +136,27 @@ class FusedUpdateBlock(nn.Module):
             ),
         )
 
+    def pallas_clfm_consts(self, interp_cache):
+        """Hoisted loop-invariant operands for the fused in-loop CLFM
+        kernels (ops/pallas_clfm.py): the offset-only score gate + the bf16
+        fc/conv weights per fused module. Apply-time only."""
+        from ..ops.pallas_clfm import hoist_interp_score, prepare_clfm_params
+
+        out = {}
+        if self.fuse_corr:
+            p = self.clfm_corr.variables["params"]
+            out["clfm_corr"] = (
+                hoist_interp_score(p["interp"], interp_cache[1]),
+                prepare_clfm_params(p),
+            )
+        if self.fuse_motion:
+            p = self.clfm_motion.variables["params"]
+            out["clfm_motion"] = (
+                hoist_interp_score(p["interp"], interp_cache[1]),
+                prepare_clfm_params(p),
+            )
+        return out
+
     def pallas_params_3d(self):
         """Loop-invariant MLP operands for the fused 3D update-chain
         kernels (ops/pallas_update3d.py). Apply-time only."""
@@ -190,10 +211,24 @@ class FusedUpdateBlock(nn.Module):
             pyramid_scale=consts.get("pyramid_3d_scale"),
         )
         interp_cache = consts["interp_cache_uv1"]
+        use_pallas_clfm = "clfm_taps" in consts
+        if use_pallas_clfm:
+            from ..ops.pallas_clfm import clfm_fused_pallas
+
+            def fused_clfm(key, f2d, f3d):
+                score, cparams = consts[key]
+                return clfm_fused_pallas(
+                    f2d, f3d, score, interp_cache[0],
+                    *consts["clfm_taps"], cparams,
+                )
+
         if self.fuse_corr:
-            corr_2d, corr_3d = self.clfm_corr(
-                uv1, corr_2d, corr_3d, interp_cache=interp_cache
-            )
+            if use_pallas_clfm:
+                corr_2d, corr_3d = fused_clfm("clfm_corr", corr_2d, corr_3d)
+            else:
+                corr_2d, corr_3d = self.clfm_corr(
+                    uv1, corr_2d, corr_3d, interp_cache=interp_cache
+                )
 
         # motion features (fast path: one fused VMEM-resident bf16 kernel
         # instead of the 5-conv XLA chain — ops/pallas_update2d.py)
@@ -221,9 +256,14 @@ class FusedUpdateBlock(nn.Module):
                 dw=dw.get("motion_encoder"), fast=self.fast_inference,
             )
         if self.fuse_motion:
-            motion_2d, motion_3d = self.clfm_motion(
-                uv1, motion_2d, motion_3d, interp_cache=interp_cache
-            )
+            if use_pallas_clfm:
+                motion_2d, motion_3d = fused_clfm(
+                    "clfm_motion", motion_2d, motion_3d
+                )
+            else:
+                motion_2d, motion_3d = self.clfm_motion(
+                    uv1, motion_2d, motion_3d, interp_cache=interp_cache
+                )
 
         # GRUs (fast path: GRU2D + FlowHead2D fused into one kernel; valid
         # because fuse_hidden=False keeps them contiguous — with
@@ -493,6 +533,14 @@ class CamLiRAFTCore(nn.Module):
                 consts["dw"], consts["me3d_params"], consts["gf3d_params"] = (
                     quantize_dw_int8(consts["dw"], me3, gf3)
                 )
+            # fused in-loop CLFM kernels: the offset-only score gate and the
+            # bilinear sample taps are loop-invariant, so the two CLFM calls
+            # collapse to one Pallas kernel each (ops/pallas_clfm.py)
+            from ..ops.pallas_clfm import clfm_pallas_enabled, grid_sample_cache
+
+            if (self.fuse_corr or self.fuse_motion) and clfm_pallas_enabled():
+                consts.update(update.pallas_clfm_consts(cache_uv1))
+                consts["clfm_taps"] = grid_sample_cache(uv1, feat_h, feat_w)
         if self.profile_stage == "volumes":
             # consume every const fully so XLA cannot dead-code any of the
             # volume/cache construction
