@@ -29,6 +29,7 @@ from ..ops.correlation import (
     all_pairs_correlation_pyramid,
     corr_lookup_2d_padded,
     pad_pyramid_for_lookup,
+    resolve_lookup_storage,
 )
 from ..ops.geometry import (
     backwarp_3d,
@@ -456,10 +457,7 @@ class CamLiRAFTCore(nn.Module):
         from ..ops.geometry import resolve_fast_inference
 
         fast = resolve_fast_inference(self.fast_inference, self.final_only)
-        storage = (
-            self.lookup_storage if self.lookup_storage != "auto"
-            else ("int8" if fast else "split")
-        )
+        storage = resolve_lookup_storage(self.lookup_storage, fast)
         pyramid_2d = pad_pyramid_for_lookup(pyramid_2d, storage=storage)
         pyramid_3d = build_cost_volume_pyramid_3d(feat1_3d, feat2_3d, xyzs2)
 
@@ -528,7 +526,13 @@ class CamLiRAFTCore(nn.Module):
             # into the conv MLP params (free dequant).
             from ..ops.pallas_update3d import quantize_dw_int8, update3d_enabled
 
-            if xyz1.shape[1] <= 4096 and update3d_enabled():
+            # fuse_hidden routes GRU3D/FlowHead3D through the exact path,
+            # which needs the original (non-kernel-layout, unquantised) dw
+            if (
+                xyz1.shape[1] <= 4096
+                and not self.fuse_hidden
+                and update3d_enabled()
+            ):
                 me3, gf3 = update.pallas_params_3d()
                 consts["dw"], consts["me3d_params"], consts["gf3d_params"] = (
                     quantize_dw_int8(consts["dw"], me3, gf3)

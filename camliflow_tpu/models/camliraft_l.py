@@ -531,6 +531,7 @@ class CamLiRAFTLCore(nn.Module):
         if (
             update.fast_inference
             and not self.is_initializing()
+            and xyz1.shape[1] <= 4096  # VMEM budget for the hoisted dw blocks
             and update3d_enabled()
         ):
             # fused update-chain kernels with int8 dw (scales folded into

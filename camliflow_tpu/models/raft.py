@@ -24,6 +24,7 @@ from ..ops.correlation import (
     all_pairs_correlation_pyramid,
     corr_lookup_2d_padded,
     pad_pyramid_for_lookup,
+    resolve_lookup_storage,
 )
 from ..ops.image import InputPadder, convex_upsample, mesh_grid
 from ..nn.layers import compute_dtype, dense, torch_kernel_init
@@ -219,10 +220,7 @@ class RAFTCore(nn.Module):
         from ..ops.geometry import resolve_fast_inference
 
         fast = resolve_fast_inference(self.fast_inference, self.final_only)
-        storage = (
-            self.lookup_storage if self.lookup_storage != "auto"
-            else ("int8" if fast else "split")
-        )
+        storage = resolve_lookup_storage(self.lookup_storage, fast)
         pyramid = pad_pyramid_for_lookup(pyramid, self.corr_radius, storage=storage)
 
         cnet = ResNetEncoder2D(depth=self.backbone_depth, name="cnet")(

@@ -106,6 +106,15 @@ def _lookup_pad(radius: int) -> int:
     return 2 * radius + 2
 
 
+def resolve_lookup_storage(lookup_storage: str, fast: bool) -> str:
+    """Resolve the `model.lookup_storage: auto|split|bf16|int8` knob: `auto`
+    stores the volume int8 on the fast-inference path and keeps the exact
+    bf16 hi/lo split otherwise. Shared by every RAFT-family core."""
+    if lookup_storage != "auto":
+        return lookup_storage
+    return "int8" if fast else "split"
+
+
 def pad_pyramid_for_lookup(
     pyramid: list[jax.Array], radius: int = 4, storage: str = "split"
 ):
@@ -150,10 +159,12 @@ def pad_pyramid_for_lookup(
         # (~320 MB/iter in the compiled while body).
         padded = padded.transpose(0, 2, 1)
         if storage == "int8":
-            amax = jnp.max(jnp.abs(padded), axis=(1, 2))
-            scale = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-            q = jnp.round(padded * (1.0 / scale)[:, None, None])
-            out.append((jnp.clip(q, -127, 127).astype(jnp.int8), scale))
+            from .geometry import quantize_rows_int8
+
+            q, scale = quantize_rows_int8(
+                padded.reshape(padded.shape[0], -1)
+            )
+            out.append((q.reshape(padded.shape), scale[:, 0]))
             continue
         hi = padded.astype(jnp.bfloat16)
         if storage == "bf16":

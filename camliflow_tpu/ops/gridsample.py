@@ -45,35 +45,42 @@ def grid_sample_pixel(
     elif padding_mode != "zeros":
         raise ValueError(f"unknown padding_mode: {padding_mode}")
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
-    wx1 = x - x0
-    wy1 = y - y0
-    wx0 = 1.0 - wx1
-    wy0 = 1.0 - wy1
+    flat_idx, weights = bilinear_taps(x, y, height, width)
+    flat = image.reshape(batch, height * width, channels)
+    out = None
+    for t in range(4):
+        vals = jnp.take_along_axis(flat, flat_idx[..., t : t + 1], axis=1)
+        vals = vals * weights[..., t].astype(image.dtype)[..., None]
+        out = vals if out is None else out + vals
+    return out.reshape(out_shape)
 
-    def corner(xi, yi, wx, wy):
+
+def bilinear_taps(x: jax.Array, y: jax.Array, height: int, width: int):
+    """The 4-corner taps of a zeros-padded bilinear sample: flat row indices
+    into the [H*W] plane plus lerp weights with out-of-bounds validity folded
+    in, so `sample = sum_t flat_image[idx[..., t]] * w[..., t]`.
+
+    Single source of truth for the corner/validity/clip semantics shared by
+    `grid_sample_pixel` and the hoisted tap cache of the fused CLFM kernel
+    (ops/pallas_clfm.py). Tap order: (x0,y0), (x1,y0), (x0,y1), (x1,y1).
+
+    Returns:
+      (flat_idx [..., 4] int32, weights [..., 4] f32).
+    """
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    idxs, ws = [], []
+    for xi, yi, wx, wy in (
+        (x0, y0, 1.0 - (x - x0), 1.0 - (y - y0)),
+        (x0 + 1.0, y0, x - x0, 1.0 - (y - y0)),
+        (x0, y0 + 1.0, 1.0 - (x - x0), y - y0),
+        (x0 + 1.0, y0 + 1.0, x - x0, y - y0),
+    ):
         valid = (xi >= 0) & (xi <= width - 1) & (yi >= 0) & (yi <= height - 1)
         xc = jnp.clip(xi, 0, width - 1).astype(jnp.int32)
         yc = jnp.clip(yi, 0, height - 1).astype(jnp.int32)
-        flat_idx = yc * width + xc  # [B, P]
-        vals = jnp.take_along_axis(
-            image.reshape(batch, height * width, channels),
-            flat_idx[..., None],
-            axis=1,
-        )
-        w = (wx * wy * valid).astype(image.dtype)
-        return vals * w[..., None]
-
-    out = (
-        corner(x0, y0, wx0, wy0)
-        + corner(x1, y0, wx1, wy0)
-        + corner(x0, y1, wx0, wy1)
-        + corner(x1, y1, wx1, wy1)
-    )
-    return out.reshape(out_shape)
+        idxs.append(yc * width + xc)
+        ws.append(wx * wy * valid)
+    return jnp.stack(idxs, axis=-1), jnp.stack(ws, axis=-1)
 
 
 def grid_sample_points(feat_2d: jax.Array, uv: jax.Array) -> jax.Array:

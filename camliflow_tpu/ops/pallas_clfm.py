@@ -95,22 +95,10 @@ def grid_sample_cache(uv: jax.Array, height: int, width: int):
       bilinear lerp factors with out-of-bounds validity folded in, so the
       sample is exactly sum_t feat_2d.reshape(B, HW, C)[flat_idx[t]] * w[t].
     """
+    from .gridsample import bilinear_taps
+
     uv = uv.astype(_F32)
-    x, y = uv[..., 0], uv[..., 1]
-    x0, y0 = jnp.floor(x), jnp.floor(y)
-    idxs, ws = [], []
-    for xi, yi, wx, wy in (
-        (x0, y0, 1.0 - (x - x0), 1.0 - (y - y0)),
-        (x0 + 1.0, y0, x - x0, 1.0 - (y - y0)),
-        (x0, y0 + 1.0, 1.0 - (x - x0), y - y0),
-        (x0 + 1.0, y0 + 1.0, x - x0, y - y0),
-    ):
-        valid = (xi >= 0) & (xi <= width - 1) & (yi >= 0) & (yi <= height - 1)
-        xc = jnp.clip(xi, 0, width - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, height - 1).astype(jnp.int32)
-        idxs.append(yc * width + xc)
-        ws.append(wx * wy * valid)
-    return jnp.stack(idxs, axis=-1), jnp.stack(ws, axis=-1)
+    return bilinear_taps(uv[..., 0], uv[..., 1], height, width)
 
 
 def prepare_clfm_params(params: dict) -> tuple:

@@ -114,7 +114,11 @@ def _conv_from_shifted(shifted, w_ref, b_ref, *, cin_slice=None):
 
 
 def _nan_to_num(x):
-    return jnp.where(jnp.isnan(x), jnp.zeros_like(x), x)
+    # match jnp.nan_to_num (raft.py:61,78,92): NaN -> 0 AND +-inf clamped to
+    # the finite max, so an overflow can't propagate through the VMEM chain
+    x = jnp.where(jnp.isnan(x), jnp.zeros_like(x), x)
+    bound = jnp.finfo(x.dtype).max
+    return jnp.clip(x, -bound, bound)
 
 
 # ---------------------------------------------------------------------------

@@ -166,3 +166,40 @@ def test_int8_dw_quantisation(rng):
     np.testing.assert_allclose(
         np.asarray(d_got), np.asarray(d_ref), rtol=3e-2, atol=5e-2
     )
+
+
+@pytest.mark.slow
+def test_camliraft_fuse_hidden_with_update3d_flag(rng, monkeypatch):
+    """fuse_hidden=True routes GRU3D/FlowHead3D through the exact path, which
+    needs the original dw — the fused-3D const hoisting must disable itself
+    (regression: kernel-layout int8 dw fed to the exact path crashed at
+    trace time)."""
+    monkeypatch.setenv("CAMLIFLOW_UPDATE3D", "1")
+
+    import jax.numpy as jnp
+
+    from camliflow_tpu.models import camliraft as camliraft_mod
+    from tests.test_models_forward import SAMPLES, make_inputs
+
+    cfgs = {
+        "name": "camliraft",
+        "freeze_bn": False,
+        "backbone": {"depth": 18},
+        "n_iters_train": 1,
+        "n_iters_eval": 1,
+        "fuse_fnet": False,
+        "fuse_cnet": False,
+        "fuse_corr": False,
+        "fuse_motion": False,
+        "fuse_hidden": True,
+        "fast_inference": "on",
+        "loss2d": {"gamma": 0.8, "order": "l2-norm"},
+        "loss3d": {"gamma": 0.8, "order": "l2-norm"},
+        "n_samples_list": SAMPLES,
+    }
+    inputs = make_inputs(np.random.RandomState(3))
+    model = camliraft_mod.CamLiRAFT(cfgs=cfgs, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), inputs)
+    out = model.apply(variables, inputs)
+    assert bool(jnp.all(jnp.isfinite(out["flow_2d"])))
+    assert bool(jnp.all(jnp.isfinite(out["flow_3d"])))
