@@ -158,6 +158,15 @@ class FusedUpdateBlock(nn.Module):
             )
         return out
 
+    def pallas_corr3d_tail_params(self):
+        """Loop-invariant dense operands for the fused Correlation3D tail
+        kernel (ops/pallas_corr3d.py). Apply-time only."""
+        from ..ops.pallas_corr3d import prepare_corr3d_tail_params
+
+        return prepare_corr3d_tail_params(
+            self.correlation_3d.variables["params"]
+        )
+
     def pallas_params_3d(self):
         """Loop-invariant MLP operands for the fused 3D update-chain
         kernels (ops/pallas_update3d.py). Apply-time only."""
@@ -210,6 +219,7 @@ class FusedUpdateBlock(nn.Module):
             xyz1, xyz2_warp_full, level_sizes, consts["pyramid_3d"],
             fast=self.fast_inference,
             pyramid_scale=consts.get("pyramid_3d_scale"),
+            tail_params=consts.get("corr3d_tail"),
         )
         interp_cache = consts["interp_cache_uv1"]
         use_pallas_clfm = "clfm_taps" in consts
@@ -545,6 +555,10 @@ class CamLiRAFTCore(nn.Module):
             if (self.fuse_corr or self.fuse_motion) and clfm_pallas_enabled():
                 consts.update(update.pallas_clfm_consts(cache_uv1))
                 consts["clfm_taps"] = grid_sample_cache(uv1, feat_h, feat_w)
+            from ..ops.pallas_corr3d import corr3d_tail_enabled
+
+            if corr3d_tail_enabled():
+                consts["corr3d_tail"] = update.pallas_corr3d_tail_params()
         if self.profile_stage == "volumes":
             # consume every const fully so XLA cannot dead-code any of the
             # volume/cache construction

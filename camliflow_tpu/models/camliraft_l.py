@@ -133,6 +133,7 @@ class Correlation3D(nn.Module):
         train: bool = False,
         fast: bool = False,
         pyramid_scale: jax.Array | None = None,
+        tail_params: tuple | None = None,
     ) -> jax.Array:
         """`fast=True` routes the selection through the prefix-level Pallas
         KNN kernel (inference only — no VJP); both paths produce the same
@@ -159,6 +160,17 @@ class Correlation3D(nn.Module):
                 xyz1, xyz2_warp_full, pyramid, tuple(level_sizes), k=self.k,
                 approx=True,
             )  # [B, N, L*k] each
+            if tail_params is not None:
+                # fused tail: gather + dequant + cost MLP + merge in one
+                # VMEM pass (ops/pallas_corr3d.py; params hoisted by the
+                # wrapper — the cost_mlp/merge modules below stay unused
+                # at apply time, their params come from init's exact path)
+                from ..ops.pallas_corr3d import corr3d_tail_pallas
+
+                return corr3d_tail_pallas(
+                    xyz1, xyz2_warp_full, idx_cat, knn_cost, pyramid_scale,
+                    tail_params, n_levels, self.k,
+                )
         else:
             from ..ops.geometry import knn_from_dists, squared_distance
 
@@ -374,6 +386,13 @@ class UpdateBlock3D(nn.Module):
             )
         return dw
 
+    def pallas_corr3d_tail_params(self):
+        """Loop-invariant dense operands for the fused Correlation3D tail
+        kernel (ops/pallas_corr3d.py). Apply-time only."""
+        from ..ops.pallas_corr3d import prepare_corr3d_tail_params
+
+        return prepare_corr3d_tail_params(self.correlation.variables["params"])
+
     def pallas_params(self):
         """Loop-invariant MLP operands for the fused 3D update-chain
         kernels (ops/pallas_update3d.py). Apply-time only."""
@@ -410,6 +429,7 @@ class UpdateBlock3D(nn.Module):
             xyz1, xyz2_warp_full, level_sizes, consts["pyramid"], train=train,
             fast=self.fast_inference,
             pyramid_scale=consts.get("pyramid_scale"),
+            tail_params=consts.get("corr3d_tail"),
         )
         if "me3d_params" in consts:
             # fused VMEM-resident update chain (ops/pallas_update3d.py)
@@ -540,6 +560,14 @@ class CamLiRAFTLCore(nn.Module):
             consts["dw"], consts["me3d_params"], consts["gf3d_params"] = (
                 quantize_dw_int8(consts["dw"], me3, gf3)
             )
+        from ..ops.pallas_corr3d import corr3d_tail_enabled
+
+        if (
+            update.fast_inference
+            and not self.is_initializing()
+            and corr3d_tail_enabled()
+        ):
+            consts["corr3d_tail"] = update.pallas_corr3d_tail_params()
         scan = nn.scan(
             lambda mdl, carry, c: mdl(carry, c, train),
             variable_broadcast="params",

@@ -290,3 +290,169 @@ def correlation3d_knn_pallas(
         interpret=interpret,
     )(xyz1_p, xyz2_warp, pyr_p)
     return idx[:, :n_queries], cost[:, :n_queries]
+
+
+# ---------------------------------------------------------------------------
+# Fused Correlation3D tail: rel-xyz gather + cost MLP + per-level sum + merge
+# ---------------------------------------------------------------------------
+
+
+def corr3d_tail_enabled() -> bool:
+    """Trace-time switch for the fused Correlation3D tail kernel.
+
+    Default OFF until the `tpu.dynamic_gather` lowering is validated on real
+    hardware (the same protocol as CAMLIFLOW_UPDATE3D); export
+    CAMLIFLOW_CORR3D_TAIL=1 to opt in.
+    """
+    import os
+
+    return os.environ.get("CAMLIFLOW_CORR3D_TAIL", "0") != "0"
+
+
+def prepare_corr3d_tail_params(params) -> tuple:
+    """Loop-invariant MLP operands from a `Correlation3D` param tree.
+
+    The tail is norm-free (cost_mlp is MLP(norm=None, act=relu), merge is
+    DenseNormAct(norm=None, act=leaky_relu) — camliraft_l.py:187-197), so six
+    dense (kernel, bias) pairs fully describe it.
+    """
+    mlp = params["cost_mlp"]
+    k1 = mlp["DenseNormAct_0"]["Dense_0"]["kernel"]  # [4, C1]
+    b1 = mlp["DenseNormAct_0"]["Dense_0"]["bias"]
+    k2 = mlp["DenseNormAct_1"]["Dense_0"]["kernel"]  # [C1, C1]
+    b2 = mlp["DenseNormAct_1"]["Dense_0"]["bias"]
+    km = params["merge"]["Dense_0"]["kernel"]  # [L*C1, Cout]
+    bm = params["merge"]["Dense_0"]["bias"]
+    return tuple(
+        jnp.asarray(x, jnp.float32) for x in (k1, b1, k2, b2, km, bm)
+    )
+
+
+def _corr3d_tail_kernel(
+    xyz1_ref,
+    xyz2_ref,
+    idx_ref,
+    cost_ref,
+    scale_ref,
+    k1_ref, b1_ref, k2_ref, b2_ref, km_ref, bm_ref,
+    out_ref,
+    *,
+    n_levels: int,
+    k: int,
+):
+    """Per-tap chain, statically unrolled over the L*k selected neighbours:
+    gather rel_xyz (VMEM `take_along_axis` — the technique update3d's dw
+    convs use; the XLA gather this replaces was 4 ms/frame), dequantised
+    cost, 2-layer cost MLP, per-level accumulation, merge dense. All f32 —
+    matching the exact XLA tail up to sum-order rounding."""
+    xyz1 = xyz1_ref[0].astype(jnp.float32)  # [N, 3]
+    xyz2 = xyz2_ref[0].astype(jnp.float32)  # [M0, 3]
+    scale = scale_ref[0].astype(jnp.float32)  # [N, 1]
+    n = xyz1.shape[0]
+    k1 = k1_ref[...].astype(jnp.float32)  # [4, C1]
+    b1 = b1_ref[...].astype(jnp.float32)
+    k2 = k2_ref[...].astype(jnp.float32)
+    b2 = b2_ref[...].astype(jnp.float32)
+
+    accs = [None] * n_levels
+    for j in range(n_levels * k):
+        col = jnp.broadcast_to(idx_ref[0, :, j][:, None], (n, 3))
+        rel = jnp.take_along_axis(xyz2, col, axis=0) - xyz1  # [N, 3]
+        cj = cost_ref[0, :, j][:, None].astype(jnp.float32) * scale  # [N, 1]
+        # payload @ k1 as four rank-1 broadcasts: lane-3 operands make poor
+        # MXU matmuls; the VPU form is exact f32 (and skips the lane concat
+        # of rel||cost, which Mosaic would relayout)
+        h = (
+            rel[:, 0:1] * k1[0][None, :]
+            + rel[:, 1:2] * k1[1][None, :]
+            + rel[:, 2:3] * k1[2][None, :]
+            + cj * k1[3][None, :]
+            + b1[None, :]
+        )
+        h = jnp.maximum(h, 0.0)
+        h2 = (
+            jax.lax.dot_general(
+                h,
+                k2,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + b2[None, :]
+        )
+        h2 = jnp.maximum(h2, 0.0)
+        lvl = j // k
+        accs[lvl] = h2 if accs[lvl] is None else accs[lvl] + h2
+
+    c1 = accs[0].shape[1]
+    out = bm_ref[...].astype(jnp.float32)[None, :]
+    for lvl in range(n_levels):
+        # virtual concat: per-level row blocks of the merge kernel
+        out = out + jax.lax.dot_general(
+            accs[lvl],
+            km_ref[lvl * c1 : (lvl + 1) * c1].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_ref[0] = jnp.where(out >= 0.0, out, 0.1 * out)  # leaky_relu(0.1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_levels", "k", "interpret")
+)
+def corr3d_tail_pallas(
+    xyz1: jax.Array,
+    xyz2_warp: jax.Array,
+    idx_cat: jax.Array,
+    knn_cost: jax.Array,
+    scale: jax.Array | None,
+    params: tuple,
+    n_levels: int,
+    k: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused Correlation3D tail (camliraft_l_core.py:75-101 semantics).
+
+    Consumes `correlation3d_knn_pallas` output directly: the rel-xyz gather,
+    int8 cost dequant, shared 2-layer cost MLP, per-level k-sum and the merge
+    dense all run in one VMEM-resident pass per batch row — replacing the
+    XLA tail's [B, N, L*k, 3] gather (~4 ms/frame at flagship shapes) and
+    ~8 batched ops per iteration. Forward-only (inference fast path).
+
+    Args:
+      xyz1: [B, N, 3] query points.
+      xyz2_warp: [B, M0, 3] warped frame-2 points.
+      idx_cat: [B, N, L*k] int32 selected neighbour indices (by level).
+      knn_cost: [B, N, L*k] f32 selected (possibly int8-quantised) costs.
+      scale: [B, N, 1] per-row dequant scale, or None.
+      params: `prepare_corr3d_tail_params` output.
+    Returns:
+      [B, N, Cout] f32 correlation features.
+    """
+    from .pallas_update3d import _batched_spec, _const_spec
+
+    if interpret is None:
+        interpret = not _on_tpu()  # CPU runs the interpreter (tests)
+    batch, n, _ = xyz1.shape
+    cout = params[5].shape[0]
+    if scale is None:
+        scale = jnp.ones((batch, n, 1), jnp.float32)
+    data = [
+        xyz1.astype(jnp.float32),
+        xyz2_warp.astype(jnp.float32),
+        idx_cat.astype(jnp.int32),
+        knn_cost.astype(jnp.float32),
+        scale.astype(jnp.float32),
+    ]
+    out_sd = jax.ShapeDtypeStruct((batch, n, cout), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_corr3d_tail_kernel, n_levels=n_levels, k=k),
+        out_shape=out_sd,
+        grid=(batch,),
+        in_specs=[_batched_spec(a) for a in data]
+        + [_const_spec(p) for p in params],
+        out_specs=_batched_spec(out_sd),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*data, *params)

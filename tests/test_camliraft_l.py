@@ -107,3 +107,24 @@ def test_is_better():
     assert m.is_better({"epe3d": 1.0}, None)
     assert m.is_better({"epe3d": 1.0}, {"epe3d": 2.0})
     assert not m.is_better({"epe3d": 2.0}, {"epe3d": 1.0})
+
+
+@pytest.mark.slow
+def test_fast_path_fused_corr3d_tail(eval_setup, monkeypatch):
+    """CAMLIFLOW_CORR3D_TAIL=1 wiring: the fused tail kernel engages inside
+    the refinement scan and matches the fast path's XLA tail (same selection
+    output feeds both, so the delta is pure tail numerics)."""
+    cfgs, inputs, model, variables = eval_setup
+    fast_cfgs = Config({**cfgs.to_dict(), "fast_inference": "on"})
+    model_fast = m.CamLiRAFTL(cfgs=fast_cfgs, train_mode=False)
+    base = model_fast.apply(variables, inputs)
+    monkeypatch.setenv("CAMLIFLOW_CORR3D_TAIL", "1")
+    fused = m.CamLiRAFTL(cfgs=fast_cfgs, train_mode=False).apply(
+        variables, inputs
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["flow_3d"]),
+        np.asarray(base["flow_3d"]),
+        rtol=1e-3,
+        atol=1e-4,
+    )

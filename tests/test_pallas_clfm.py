@@ -81,9 +81,13 @@ def test_clfm_fused_matches_flax(rng, c2, c3):
 
 @pytest.mark.slow
 def test_camliraft_model_fused_clfm_matches_exact(rng, monkeypatch):
-    """CamLiRAFT eval fast path with the fused CLFM kernels enabled
-    (CAMLIFLOW_CLFM=1) vs the exact path on tiny shapes."""
+    """CamLiRAFT eval fast path with ALL gated Pallas kernels enabled
+    (CLFM + update3d + corr3d tail — the exact combination the on-hardware
+    numerics gate runs) vs the exact path on tiny shapes. Catches consts-key
+    and kernel-interaction bugs before the chip does."""
     monkeypatch.setenv("CAMLIFLOW_CLFM", "1")
+    monkeypatch.setenv("CAMLIFLOW_UPDATE3D", "1")
+    monkeypatch.setenv("CAMLIFLOW_CORR3D_TAIL", "1")
 
     from camliflow_tpu.models import camliraft as camliraft_mod
     from camliflow_tpu.utils.config import Config

@@ -162,3 +162,39 @@ def test_padding_and_odd_sizes(rng):
     assert got_idx.shape == (1, 77, 6)
     assert got_cost.shape == (1, 77, 6)
     assert int(np.asarray(got_idx).max()) < 48
+
+
+def test_fused_tail_matches_xla_tail(rng):
+    """corr3d_tail_pallas == the module's XLA tail (gather + cost MLP +
+    merge), on both the plain and the int8+scale pyramid paths. Both runs
+    share the same selection kernel output, so this isolates the tail."""
+    from camliflow_tpu.ops.geometry import quantize_rows_int8
+    from camliflow_tpu.ops.pallas_corr3d import prepare_corr3d_tail_params
+
+    xyz1, xyz2, level_sizes, pyramid = _make_case(rng)
+    module = Correlation3D(out_channels=64, k=8)
+    variables = module.init(
+        jax.random.PRNGKey(0), xyz1, xyz2, level_sizes, pyramid
+    )
+    tail = prepare_corr3d_tail_params(variables["params"])
+
+    want = module.apply(variables, xyz1, xyz2, level_sizes, pyramid, fast=True)
+    got = module.apply(
+        variables, xyz1, xyz2, level_sizes, pyramid, fast=True,
+        tail_params=tail,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+    q, scale = quantize_rows_int8(jnp.concatenate(pyramid, axis=-1))
+    want8 = module.apply(
+        variables, xyz1, xyz2, level_sizes, q, fast=True, pyramid_scale=scale
+    )
+    got8 = module.apply(
+        variables, xyz1, xyz2, level_sizes, q, fast=True, pyramid_scale=scale,
+        tail_params=tail,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got8), np.asarray(want8), rtol=1e-4, atol=1e-5
+    )

@@ -1,0 +1,166 @@
+"""On-hardware parity check for the gated Pallas kernels (CLFM + update3d).
+
+Runs the fused kernels with interpret=False on the real chip against the
+exact Flax modules at realistic flagship shapes. Max deltas printed; the
+interpret-mode tests already pin CPU semantics, this pins the Mosaic
+lowering.
+"""
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from camliflow_tpu.nn.clfm import CLFM, fusion_interp_cache
+from camliflow_tpu.ops.pallas_clfm import (
+    clfm_fused_pallas,
+    grid_sample_cache,
+    hoist_interp_score,
+    prepare_clfm_params,
+)
+
+rng = np.random.RandomState(0)
+print("devices:", jax.devices(), flush=True)
+
+
+def check(name, got, want, scale_ref=None):
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    d = np.max(np.abs(got - want))
+    s = np.max(np.abs(want if scale_ref is None else scale_ref))
+    print(f"{name}: max|d|={d:.3e} scale={s:.3e} rel={d/max(s,1e-9):.3e}",
+          flush=True)
+    return d, s
+
+
+# --- CLFM fused kernel at flagship shapes -----------------------------------
+for c2, c3 in ((324, 128), (128, 128)):
+    b, h, w, n = 1, 68, 120, 8192
+    t0 = time.time()
+    clfm = CLFM(c2, c3)
+    feat_2d = jnp.asarray(rng.randn(b, h, w, c2).astype(np.float32))
+    feat_3d = jnp.asarray(rng.randn(b, n, c3).astype(np.float32))
+    uv = jnp.asarray((rng.rand(b, n, 2) * [w - 1, h - 1]).astype(np.float32))
+    cache = fusion_interp_cache(uv, h, w)
+    variables = clfm.init(
+        jax.random.PRNGKey(0), uv, feat_2d, feat_3d, interp_cache=cache
+    )
+    o2_ref, o3_ref = jax.jit(
+        lambda v, u, f2, f3: clfm.apply(v, u, f2, f3, interp_cache=cache)
+    )(variables, uv, feat_2d, feat_3d)
+
+    params = prepare_clfm_params(variables["params"])
+    score = hoist_interp_score(variables["params"]["interp"], cache[1])
+    tap_idx, tap_w = grid_sample_cache(uv, h, w)
+    o2, o3 = clfm_fused_pallas(
+        feat_2d, feat_3d, score, cache[0], tap_idx, tap_w, params,
+        interpret=False,
+    )
+    check(f"clfm({c2},{c3}) out2d", o2, o2_ref)
+    check(f"clfm({c2},{c3}) out3d", o3, o3_ref)
+    print(f"  ({time.time()-t0:.0f}s)", flush=True)
+
+# --- update3d kernels at flagship point count --------------------------------
+from camliflow_tpu.models.camliraft_l import FlowHead3D, GRU3D, MotionEncoder3D
+from camliflow_tpu.ops.geometry import k_nearest_neighbor
+from camliflow_tpu.ops.pallas_update3d import (
+    gru_flowhead_3d_pallas,
+    motion_encoder_3d_pallas,
+    prepare_gru_flowhead_3d_params,
+    prepare_motion_encoder_3d_params,
+    to_kernel_layout,
+)
+
+n = 8192
+xyz = jnp.asarray(rng.standard_normal((1, n, 3)).astype(np.float32))
+knn = k_nearest_neighbor(xyz, xyz, 32)
+
+flow = jnp.asarray(0.1 * rng.standard_normal((1, n, 3)).astype(np.float32))
+corr = jnp.asarray(rng.standard_normal((1, n, 128)).astype(np.float32))
+module = MotionEncoder3D()
+mvars = module.init(jax.random.PRNGKey(0), xyz, flow, corr, knn)
+want = jax.jit(
+    lambda v: module.apply(v, xyz, flow, corr, knn, fast=True)
+)(mvars)
+dw = module.apply(mvars, xyz, knn, method=MotionEncoder3D.precompute_weights)
+dw = to_kernel_layout(
+    jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), dw)
+)
+me_p = prepare_motion_encoder_3d_params(mvars["params"])
+got = motion_encoder_3d_pallas(flow, corr, knn, dw, me_p)
+check("motion_encoder_3d", got, want)
+
+h0 = jnp.asarray(rng.standard_normal((1, n, 128)).astype(np.float32))
+x3d = jnp.asarray(rng.standard_normal((1, n, 64)).astype(np.float32))
+motion = jnp.asarray(rng.standard_normal((1, n, 128)).astype(np.float32))
+x = jnp.concatenate([x3d, motion], axis=-1)
+gru = GRU3D(hidden_dim=128)
+gvars = gru.init(jax.random.PRNGKey(1), xyz, h0, x, knn)
+head = FlowHead3D()
+hvars = head.init(jax.random.PRNGKey(2), xyz, h0, knn)
+h_want = jax.jit(lambda v: gru.apply(v, xyz, h0, x, knn, fast=True))(gvars)
+d_want = jax.jit(lambda v: head.apply(v, xyz, h_want, knn, fast=True))(hvars)
+dwg = {
+    **gru.apply(gvars, xyz, knn, method=GRU3D.precompute_weights),
+    "flow_conv1": head.apply(
+        hvars, xyz, knn, method=FlowHead3D.precompute_weights
+    )["conv1"],
+    "flow_conv2": head.apply(
+        hvars, xyz, knn, method=FlowHead3D.precompute_weights
+    )["conv2"],
+}
+dwg = to_kernel_layout(
+    jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), dwg)
+)
+gf_p = prepare_gru_flowhead_3d_params(gvars["params"], hvars["params"])
+h_got, d_got = gru_flowhead_3d_pallas(h0, x3d, motion, knn, dwg, gf_p)
+check("gru_3d hidden", h_got, h_want)
+check("flowhead_3d delta", d_got, d_want)
+print("HW KERNEL CHECK DONE", flush=True)
+
+# --- corr3d tail kernel at flagship shapes -----------------------------------
+from camliflow_tpu.models.camliraft_l import (
+    Correlation3D,
+    build_cost_volume_pyramid_3d,
+)
+from camliflow_tpu.ops.geometry import quantize_rows_int8
+from camliflow_tpu.ops.pallas_corr3d import (
+    correlation3d_knn_pallas,
+    corr3d_tail_pallas,
+    prepare_corr3d_tail_params,
+)
+
+b, n = 1, 4096
+level_sizes = (2048, 1024, 512, 256)
+xyz1 = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+xyz2 = jnp.asarray(
+    rng.standard_normal((b, level_sizes[0], 3)).astype(np.float32)
+)
+f1 = jnp.asarray(rng.standard_normal((b, n, 64)).astype(np.float32))
+f2 = jnp.asarray(
+    rng.standard_normal((b, level_sizes[0], 64)).astype(np.float32)
+)
+xyzs2 = [xyz2[:, :m] for m in level_sizes]
+pyr = build_cost_volume_pyramid_3d(f1, f2, xyzs2)
+module = Correlation3D(out_channels=128, k=16)
+cvars = module.init(jax.random.PRNGKey(3), xyz1, xyz2, level_sizes, pyr)
+q, scale = quantize_rows_int8(jnp.concatenate(pyr, axis=-1))
+want = jax.jit(
+    lambda v: module.apply(
+        v, xyz1, xyz2, level_sizes, q, fast=True, pyramid_scale=scale
+    )
+)(cvars)
+tail = prepare_corr3d_tail_params(cvars["params"])
+got = jax.jit(
+    lambda v: module.apply(
+        v, xyz1, xyz2, level_sizes, q, fast=True, pyramid_scale=scale,
+        tail_params=prepare_corr3d_tail_params(v["params"]),
+    )
+)(cvars)
+check("corr3d_tail", got, want)
+print("HW KERNEL CHECK DONE (incl corr3d tail)", flush=True)
