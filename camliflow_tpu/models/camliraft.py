@@ -391,15 +391,20 @@ class CamLiRAFTCore(nn.Module):
         knn_both = encoder_knn_indices(stacked)
         knn_f1 = [idx[:batch] for idx in knn_both]
         knn_f2 = [idx[batch:] for idx in knn_both]
+        from ..ops.geometry import resolve_fast_inference
+
+        fast_enc = resolve_fast_inference(self.fast_inference, self.final_only)
         fnet_3d = Encoder3D(name="fnet_3d")
         if train:
             feat1_3d = fnet_3d(xyzs1[:3], train=train, knn_indices=knn_f1)[2]
             feat2_3d = fnet_3d(xyzs2[:3], train=train, knn_indices=knn_f2)[2]
         else:
-            feats = fnet_3d(stacked, train=train, knn_indices=knn_both)[2]
+            feats = fnet_3d(
+                stacked, train=train, knn_indices=knn_both, fast=fast_enc
+            )[2]
             feat1_3d, feat2_3d = feats[:batch], feats[batch:]
         featc_3d = Encoder3D(name="cnet_3d")(
-            xyzs1[:3], train=train, knn_indices=knn_f1
+            xyzs1[:3], train=train, knn_indices=knn_f1, fast=fast_enc
         )[2]
 
         xyzs1, xyzs2 = xyzs1[2:], xyzs2[2:]
@@ -464,9 +469,7 @@ class CamLiRAFTCore(nn.Module):
         )
         # pad once for the in-loop lookups (loop-invariant); the TPU eval
         # fast path stores the volume int8 (see pad_pyramid_for_lookup)
-        from ..ops.geometry import resolve_fast_inference
-
-        fast = resolve_fast_inference(self.fast_inference, self.final_only)
+        fast = fast_enc
         storage = resolve_lookup_storage(self.lookup_storage, fast)
         pyramid_2d = pad_pyramid_for_lookup(pyramid_2d, storage=storage)
         pyramid_3d = build_cost_volume_pyramid_3d(feat1_3d, feat2_3d, xyzs2)

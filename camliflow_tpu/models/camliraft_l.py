@@ -58,6 +58,7 @@ class Encoder3D(nn.Module):
         xyzs: list[jax.Array],
         train: bool = False,
         knn_indices: list[jax.Array] | None = None,
+        fast: bool = False,
     ) -> list[jax.Array]:
         c = self.n_channels
         feats = [MLP([c[0], c[0]], name="level0_mlp")(xyzs[0], train=train)]
@@ -71,6 +72,7 @@ class Encoder3D(nn.Module):
                 xyzs[i + 1],
                 knn_indices=None if knn_indices is None else knn_indices[i],
                 train=train,
+                fast=fast,
             )
             feats.append(feat)
         return feats
@@ -500,10 +502,16 @@ class CamLiRAFTLCore(nn.Module):
         knn_f1 = [idx[:batch] for idx in knn_both]
         knn_f2 = [idx[batch:] for idx in knn_both]
 
+        from ..ops.geometry import resolve_fast_inference
+
+        fast = resolve_fast_inference(self.fast_inference, self.final_only)
+
         fnet = Encoder3D(name="fnet")
-        feat1 = fnet(xyzs1[:3], train=train, knn_indices=knn_f1)[2]
-        feat2 = fnet(xyzs2[:3], train=train, knn_indices=knn_f2)[2]
-        featc = Encoder3D(name="cnet")(xyzs1[:3], train=train, knn_indices=knn_f1)[2]
+        feat1 = fnet(xyzs1[:3], train=train, knn_indices=knn_f1, fast=fast)[2]
+        feat2 = fnet(xyzs2[:3], train=train, knn_indices=knn_f2, fast=fast)[2]
+        featc = Encoder3D(name="cnet")(
+            xyzs1[:3], train=train, knn_indices=knn_f1, fast=fast
+        )[2]
         featc = dense(256, name="cnet_aligner")(featc)
 
         xyzs1, xyzs2 = xyzs1[2:], xyzs2[2:]
@@ -515,14 +523,7 @@ class CamLiRAFTLCore(nn.Module):
         x = nn.relu(x.astype(jnp.float32))
         knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
 
-        from ..ops.geometry import resolve_fast_inference
-
-        update = UpdateBlock3D(
-            fast_inference=resolve_fast_inference(
-                self.fast_inference, self.final_only
-            ),
-            name="update",
-        )
+        update = UpdateBlock3D(fast_inference=fast, name="update")
         consts = {
             "xyz1": xyz1,
             "xyzs2": xyzs2,

@@ -48,6 +48,7 @@ class PointConv(nn.Module):
         sampled_xyz: jax.Array | None = None,
         knn_indices: jax.Array | None = None,
         train: bool = False,
+        fast: bool = False,
     ) -> jax.Array:
         """
         Args:
@@ -55,6 +56,9 @@ class PointConv(nn.Module):
           features: [B, N, C] point features.
           sampled_xyz: [B, M, 3] output locations (defaults to xyz).
           knn_indices: optional precomputed [B, M, >=k] neighbour indices.
+          fast: inference-only — route the two KNN gathers through the
+            VMEM-resident Pallas kernel (k-major layout; bit-identical gather
+            values, einsum contraction order may differ in f32 rounding).
         Returns:
           [B, M, out_channels].
         """
@@ -64,6 +68,38 @@ class PointConv(nn.Module):
 
         features = jnp.concatenate([xyz.astype(features.dtype), features], axis=-1)
         knn_indices = _resolve_knn(xyz, sampled_xyz, knn_indices, self.k)
+
+        from ..ops.pallas_gather import (
+            gather_fits_vmem,
+            gather_points_kmajor,
+            pallas_gather_enabled,
+        )
+
+        if (
+            fast
+            and pallas_gather_enabled()
+            and gather_fits_vmem(features, knn_indices)
+        ):
+            # k-major end to end: tap-contiguous Pallas gathers, weight MLP
+            # on [B, k, M, 3], contraction over k unchanged (same sum)
+            knn_xyz = gather_points_kmajor(xyz, knn_indices)  # [B, k, M, 3]
+            rel_xyz = (knn_xyz - sampled_xyz[:, None, :, :]).astype(
+                features.dtype
+            )
+            weights = MLP([8, 16], act=self.act, name="weight_net")(
+                rel_xyz, train=train
+            )  # [B, k, M, 16]
+            knn_feats = gather_points_kmajor(features, knn_indices)
+            out = jnp.einsum(
+                "bkmw,bkmc->bmwc",
+                weights,
+                knn_feats,
+                preferred_element_type=jnp.float32,
+            ).astype(features.dtype)
+            out = out.reshape(batch, n_samples, -1)
+            out = dense(self.out_channels, name="linear")(out)
+            out = Norm(self.norm)(out, train=train)
+            return apply_act(out, self.act)
 
         knn_xyz = gather_points(xyz, knn_indices)  # [B, M, k, 3]
         rel_xyz = (knn_xyz - sampled_xyz[:, :, None, :]).astype(features.dtype)

@@ -1,0 +1,99 @@
+"""Pallas TPU kernel for batched KNN feature gathers.
+
+`gather_points` (the channel-last `batch_indexing`, reference
+models/utils.py:61-104) with [B, M, k] indices is the encoders' dominant
+remaining cost: XLA lowers it to per-row HBM gathers at ~20 ns/row
+regardless of width (PERF.md "Known facts"), so a [2, 2048, 16] gather of
+67-channel rows costs ~1.3 ms for <10 MB of data. This kernel keeps the
+source table VMEM-resident and expands each of the k taps with
+`jnp.take_along_axis` (`tpu.dynamic_gather` — the fused update-kernel
+technique, ops/pallas_update3d.py).
+
+Output is K-MAJOR ([B, k, M, C]): each tap writes one contiguous [M, C]
+slab of full vregs. Consumers contract over k anyway (PointConv's einsum),
+so no transpose back is needed on the fast path.
+
+Forward-only (no VJP): inference fast path; training keeps the
+differentiable XLA gather.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .geometry import _on_tpu
+
+# VMEM budget for table + output + indices per batch row. Above this the
+# caller falls back to the XLA gather (which is bandwidth-fine for big data
+# — the Pallas win is per-row latency on small tables).
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def pallas_gather_enabled() -> bool:
+    """Trace-time switch for the Pallas KNN gather.
+
+    Default OFF until the `tpu.dynamic_gather` lowering is validated on real
+    hardware (same protocol as CAMLIFLOW_UPDATE3D); export
+    CAMLIFLOW_PGATHER=1 to opt in.
+    """
+    return os.environ.get("CAMLIFLOW_PGATHER", "0") != "0"
+
+
+def gather_fits_vmem(data: jax.Array, indices: jax.Array) -> bool:
+    """Whether one batch row's table + k-major output + indices fit VMEM."""
+    _, n, c = data.shape
+    _, m, k = indices.shape
+    bytes_needed = (n * c + k * m * c) * data.dtype.itemsize + m * k * 4
+    return bytes_needed <= _VMEM_BUDGET
+
+
+def _gather_kmajor_kernel(data_ref, idx_ref, out_ref, *, k: int):
+    table = data_ref[0]  # [N, C]
+    m = idx_ref.shape[1]
+    c = table.shape[1]
+    for j in range(k):
+        col = jnp.broadcast_to(idx_ref[0, :, j][:, None], (m, c))
+        out_ref[0, j] = jnp.take_along_axis(table, col, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_points_kmajor(
+    data: jax.Array, indices: jax.Array, interpret: bool | None = None
+) -> jax.Array:
+    """[B, N, C] data + [B, M, k] int indices -> [B, k, M, C].
+
+    Values bit-identical to `gather_points(data, indices)` transposed to
+    k-major (the gather itself is exact in any dtype).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()  # CPU runs the interpreter (tests)
+    batch, n, c = data.shape
+    _, m, k = indices.shape
+    idx = indices.astype(jnp.int32)
+
+    def batched(x):
+        nd = x.ndim
+        return pl.BlockSpec(
+            (1,) + x.shape[1:],
+            (lambda r: lambda b: (b,) + (0,) * (r - 1))(nd),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_sd = jax.ShapeDtypeStruct((batch, k, m, c), data.dtype)
+    return pl.pallas_call(
+        functools.partial(_gather_kmajor_kernel, k=k),
+        out_shape=out_sd,
+        grid=(batch,),
+        in_specs=[batched(data), batched(idx)],
+        out_specs=batched(out_sd),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(data, idx)

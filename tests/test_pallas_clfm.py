@@ -88,6 +88,7 @@ def test_camliraft_model_fused_clfm_matches_exact(rng, monkeypatch):
     monkeypatch.setenv("CAMLIFLOW_CLFM", "1")
     monkeypatch.setenv("CAMLIFLOW_UPDATE3D", "1")
     monkeypatch.setenv("CAMLIFLOW_CORR3D_TAIL", "1")
+    monkeypatch.setenv("CAMLIFLOW_PGATHER", "1")
 
     from camliflow_tpu.models import camliraft as camliraft_mod
     from camliflow_tpu.utils.config import Config

@@ -164,3 +164,16 @@ got = jax.jit(
 )(cvars)
 check("corr3d_tail", got, want)
 print("HW KERNEL CHECK DONE (incl corr3d tail)", flush=True)
+
+# --- Pallas KNN gather at encoder shapes -------------------------------------
+from camliflow_tpu.ops.geometry import gather_points
+from camliflow_tpu.ops.pallas_gather import gather_points_kmajor
+
+gdata = jnp.asarray(rng.standard_normal((2, 4096, 67)).astype(np.float32))
+gidx = jnp.asarray(
+    rng.randint(0, 4096, size=(2, 2048, 16)).astype(np.int32)
+)
+g_got = jax.jit(lambda d, i: gather_points_kmajor(d, i))(gdata, gidx)
+g_want = jnp.transpose(gather_points(gdata, gidx), (0, 2, 1, 3))
+check("pallas_gather", g_got, g_want)
+print("HW KERNEL CHECK DONE (all)", flush=True)
