@@ -186,10 +186,12 @@ class FusedUpdateBlock(nn.Module):
         )
 
     def upsample(self, h_2d, flow_2d, flow_3d, consts):
+        from ..ops.pallas_gather import knn_weighted_sum
+
         flow_2d_up = self.convex_upsampler(h_2d, flow_2d)
-        flow_3d_up = jnp.sum(
-            gather_points(flow_3d, consts["up_idx"]) * consts["up_weights"][..., None],
-            axis=2,
+        flow_3d_up = knn_weighted_sum(
+            flow_3d, consts["up_idx"], consts["up_weights"],
+            fast=self.fast_inference,
         )
         return flow_2d_up, flow_3d_up
 
@@ -477,8 +479,10 @@ class CamLiRAFTCore(nn.Module):
         knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
 
         # shared upsample weights (2048 -> full cloud)
+        from ..ops.pallas_gather import gather_points_fast
+
         up_idx = k_nearest_neighbor(xyz1, pc1, k=3)
-        up_xyz = gather_points(xyz1, up_idx)
+        up_xyz = gather_points_fast(xyz1, up_idx, fast=fast_enc)
         dists = jnp.maximum(
             jnp.linalg.norm(
                 (up_xyz - pc1[:, :, None, :]).astype(jnp.float32), axis=-1

@@ -586,8 +586,10 @@ class CamLiRAFTLCore(nn.Module):
         # iteration). At eval only the final flow is needed downstream
         # (reference camliraft_l.py:60-64 returns flow_preds[-1]), so skip the
         # T-1 redundant upsamples and return a length-1 sequence.
+        from ..ops.pallas_gather import gather_points_fast, knn_weighted_sum
+
         knn_idx = k_nearest_neighbor(xyz1, pc1, k=3)
-        knn_xyz = gather_points(xyz1, knn_idx)
+        knn_xyz = gather_points_fast(xyz1, knn_idx, fast=fast)
         dists = jnp.maximum(
             jnp.linalg.norm(
                 (knn_xyz - pc1[:, :, None, :]).astype(jnp.float32), axis=-1
@@ -602,6 +604,11 @@ class CamLiRAFTLCore(nn.Module):
 
         if self.final_only:
             flow_seq = flow_seq[-1:]
+        if fast and flow_seq.shape[0] == 1:
+            # keep the Pallas gather outside vmap (single final flow at eval)
+            return knn_weighted_sum(flow_seq[0], knn_idx, weights, fast=True)[
+                None
+            ]
         return jax.vmap(upsample)(flow_seq)  # [T, B, N, 3] (T=1 at eval)
 
 

@@ -97,3 +97,46 @@ def gather_points_kmajor(
         ),
         interpret=interpret,
     )(data, idx)
+
+
+def gather_points_fast(
+    data: jax.Array, indices: jax.Array, fast: bool = False
+) -> jax.Array:
+    """Drop-in `gather_points` for rank-3 [B, M, k] indices: routes through
+    the Pallas kernel on the fast path (plus one dense transpose back to
+    [B, M, k, C] — still a win when XLA's per-row gather latency dominates),
+    XLA otherwise."""
+    from .geometry import gather_points
+
+    if (
+        fast
+        and pallas_gather_enabled()
+        and indices.ndim == 3
+        and data.ndim == 3
+        and gather_fits_vmem(data, indices)
+    ):
+        return jnp.transpose(gather_points_kmajor(data, indices), (0, 2, 1, 3))
+    return gather_points(data, indices)
+
+
+def knn_weighted_sum(
+    data: jax.Array,
+    indices: jax.Array,
+    weights: jax.Array,
+    fast: bool = False,
+) -> jax.Array:
+    """`sum_k gather(data, indices) * weights[..., None]` (KNN-interpolation,
+    reference models/utils.py:107-120 pattern). The fast path contracts
+    k-major straight off the Pallas gather — no transpose at all."""
+    from .geometry import gather_points
+
+    if (
+        fast
+        and pallas_gather_enabled()
+        and indices.ndim == 3
+        and data.ndim == 3
+        and gather_fits_vmem(data, indices)
+    ):
+        g = gather_points_kmajor(data, indices)  # [B, k, M, C]
+        return jnp.sum(g * jnp.swapaxes(weights, 1, 2)[..., None], axis=1)
+    return jnp.sum(gather_points(data, indices) * weights[..., None], axis=2)

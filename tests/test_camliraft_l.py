@@ -110,21 +110,21 @@ def test_is_better():
 
 
 @pytest.mark.slow
-def test_fast_path_fused_corr3d_tail(eval_setup, monkeypatch):
-    """CAMLIFLOW_CORR3D_TAIL=1 wiring: the fused tail kernel engages inside
-    the refinement scan and matches the fast path's XLA tail (same selection
-    output feeds both, so the delta is pure tail numerics)."""
+def test_fast_path_all_gated_kernels(eval_setup, monkeypatch):
+    """All gated Pallas kernels engaged at once on CamLiRAFT-L (corr3d tail +
+    fused 3D update chain + Pallas gathers — the combination the on-hardware
+    numerics gate runs) vs the plain fast path. The selection output feeds
+    both, so deltas are pure kernel numerics."""
     cfgs, inputs, model, variables = eval_setup
     fast_cfgs = Config({**cfgs.to_dict(), "fast_inference": "on"})
     model_fast = m.CamLiRAFTL(cfgs=fast_cfgs, train_mode=False)
     base = model_fast.apply(variables, inputs)
     monkeypatch.setenv("CAMLIFLOW_CORR3D_TAIL", "1")
+    monkeypatch.setenv("CAMLIFLOW_UPDATE3D", "1")
+    monkeypatch.setenv("CAMLIFLOW_PGATHER", "1")
     fused = m.CamLiRAFTL(cfgs=fast_cfgs, train_mode=False).apply(
         variables, inputs
     )
-    np.testing.assert_allclose(
-        np.asarray(fused["flow_3d"]),
-        np.asarray(base["flow_3d"]),
-        rtol=1e-3,
-        atol=1e-4,
-    )
+    d = np.max(np.abs(np.asarray(fused["flow_3d"] - base["flow_3d"])))
+    s = np.max(np.abs(np.asarray(base["flow_3d"])))
+    assert d <= max(5e-3, 0.02 * s), (d, s)
