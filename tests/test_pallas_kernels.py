@@ -54,3 +54,16 @@ def test_pallas_fps_matches_xla(rng):
     ref = np.asarray(ops.furthest_point_sampling(pc, 128))
     got = np.asarray(furthest_point_sampling_pallas(pc, 128, interpret=True))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_pallas_fps_coord_gather_matches_xla(rng, monkeypatch):
+    """CAMLIFLOW_FPS_GATHER=1: the dynamic-gather coordinate read is
+    bit-identical to the one-hot masked-reduce variant (same distance math,
+    same tie-breaks) and thus to the XLA reference."""
+    monkeypatch.setenv("CAMLIFLOW_FPS_GATHER", "1")
+    from camliflow_tpu import ops
+
+    pc = jnp.asarray(np.random.RandomState(3).randn(2, 333, 3), jnp.float32)
+    ref = np.asarray(ops.furthest_point_sampling(pc, 128))
+    got = np.asarray(furthest_point_sampling_pallas(pc, 128, interpret=True))
+    np.testing.assert_array_equal(got, ref)

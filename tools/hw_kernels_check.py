@@ -177,3 +177,26 @@ g_got = jax.jit(lambda d, i: gather_points_kmajor(d, i))(gdata, gidx)
 g_want = jnp.transpose(gather_points(gdata, gidx), (0, 2, 1, 3))
 check("pallas_gather", g_got, g_want)
 print("HW KERNEL CHECK DONE (all)", flush=True)
+
+# --- FPS dynamic-gather variant (exact parity on chip) ------------------------
+import os
+
+from camliflow_tpu.ops import pallas_fps
+
+pc = jnp.asarray(rng.standard_normal((2, 8192, 3)).astype(np.float32))
+base = np.asarray(pallas_fps._fps_pallas_impl(pc, 4096, interpret=False, coord_gather=False))
+gat = np.asarray(pallas_fps._fps_pallas_impl(pc, 4096, interpret=False, coord_gather=True))
+d = int(np.sum(base != gat))
+print(f"fps coord-gather mismatches: {d}", flush=True)
+assert d == 0, "FPS DYNAMIC-GATHER MISMATCH"
+import time as _t
+
+for name, flag in (("onehot", False), ("gather", True)):
+    r = pallas_fps._fps_pallas_impl(pc, 4096, interpret=False, coord_gather=flag)
+    float(jnp.sum(r[0, :1]))  # sync
+    t0 = _t.time()
+    for _ in range(10):
+        r = pallas_fps._fps_pallas_impl(pc, 4096, interpret=False, coord_gather=flag)
+    float(jnp.sum(r[0, :1]))
+    print(f"fps {name}: {(_t.time()-t0)/10*1000:.2f} ms/call", flush=True)
+print("HW KERNEL CHECK FULLY DONE", flush=True)
