@@ -36,13 +36,27 @@ def _epe_map(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
 
 
 class Evaluator:
-    """Generic evaluator: build model, restore checkpoint, stream batches."""
+    """Generic evaluator: build model, restore checkpoint, stream batches.
+
+    Multi-chip: with more than one device the batch is sharded over a 1-D
+    data mesh and the variables replicated — GSPMD runs each sample's
+    forward on its own chip (eval is per-sample independent, so this is
+    exact). The reference evaluates single-GPU (eval_things.py:139-151);
+    this is the TPU-pod scale-out of the same protocol. Batches whose
+    leading dim doesn't divide the mesh (the drop_last=False remainder)
+    fall back to the default placement.
+    """
 
     def __init__(self, cfgs, variables=None, batch_size: int = 8, dataset=None):
         self.cfgs = cfgs
         self.spec = model_factory(cfgs.model)
         self.model = self.spec.module_cls(cfgs=cfgs.model.to_dict(), train_mode=False)
         self.infer_step = make_infer_step(self.model)
+        self.mesh = None
+        if jax.local_device_count() > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
 
         if dataset is None:
             from ..data.datasets import dataset_factory
@@ -63,6 +77,10 @@ class Evaluator:
             from .checkpoint import restore_variables
 
             self.variables = restore_variables(cfgs.ckpt.path)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate_tree
+
+            self.variables = replicate_tree(self.variables, self.mesh)
 
     def _forward(self, batch: dict) -> dict:
         import jax.numpy as jnp
@@ -72,6 +90,10 @@ class Evaluator:
             for k, v in batch.items()
             if isinstance(v, np.ndarray) and k not in ("index", "input_h", "input_w")
         }
+        if self.mesh is not None and len(batch["index"]) % self.mesh.size == 0:
+            from ..parallel.mesh import shard_batch
+
+            arrays = shard_batch(arrays, self.mesh)
         params = self.variables["params"]
         batch_stats = self.variables.get("batch_stats")
         out = self.infer_step(params, batch_stats, arrays)

@@ -99,3 +99,23 @@ def test_sf_protocol_per_sample(evaluator_factory):
     ev = evaluator_factory(SyntheticPCDataset())
     results = ev.run_sf_protocol(per_sample_average=True, use_noc_mask=False)
     assert np.isfinite(results["Outlier"])
+
+
+def test_things_protocol_data_parallel_matches(evaluator_factory):
+    """batch_size=8 on the 8-device virtual mesh engages the sharded DP path
+    (Evaluator.mesh); eval is per-sample independent so the metrics must
+    match the batch_size=2 (fallback-placement) run exactly-ish."""
+    dataset = SyntheticPCDataset(n_samples=8)
+    ev_small = evaluator_factory(dataset)
+    base = ev_small.run_things()
+
+    from camliflow_tpu.runtime.evaluator import Evaluator
+
+    ev_dp = Evaluator(
+        ev_small.cfgs, variables=ev_small.variables, batch_size=8,
+        dataset=dataset,
+    )
+    assert ev_dp.mesh is not None and ev_dp.mesh.size == 8
+    got = ev_dp.run_things()
+    for key in base:
+        np.testing.assert_allclose(got[key], base[key], rtol=1e-4, atol=1e-6)
