@@ -75,43 +75,32 @@ class PointConv(nn.Module):
             pallas_gather_enabled,
         )
 
-        if (
+        kmajor = (
             fast
             and pallas_gather_enabled()
             and gather_fits_vmem(features, knn_indices)
-        ):
-            # k-major end to end: tap-contiguous Pallas gathers, weight MLP
-            # on [B, k, M, 3], contraction over k unchanged (same sum)
-            knn_xyz = gather_points_kmajor(xyz, knn_indices)  # [B, k, M, 3]
-            rel_xyz = (knn_xyz - sampled_xyz[:, None, :, :]).astype(
-                features.dtype
-            )
-            weights = MLP([8, 16], act=self.act, name="weight_net")(
-                rel_xyz, train=train
-            )  # [B, k, M, 16]
-            knn_feats = gather_points_kmajor(features, knn_indices)
-            out = jnp.einsum(
-                "bkmw,bkmc->bmwc",
-                weights,
-                knn_feats,
-                preferred_element_type=jnp.float32,
-            ).astype(features.dtype)
-            out = out.reshape(batch, n_samples, -1)
-            out = dense(self.out_channels, name="linear")(out)
-            out = Norm(self.norm)(out, train=train)
-            return apply_act(out, self.act)
+        )
+        if kmajor:
+            # tap-contiguous Pallas gathers; the contraction over k is the
+            # same sum either way, just indexed k-major
+            gather = gather_points_kmajor  # -> [B, k, M, C]
+            center = sampled_xyz[:, None, :, :]
+            einsum_spec = "bkmw,bkmc->bmwc"
+        else:
+            gather = gather_points  # -> [B, M, k, C]
+            center = sampled_xyz[:, :, None, :]
+            einsum_spec = "bmkw,bmkc->bmwc"
 
-        knn_xyz = gather_points(xyz, knn_indices)  # [B, M, k, 3]
-        rel_xyz = (knn_xyz - sampled_xyz[:, :, None, :]).astype(features.dtype)
+        rel_xyz = (gather(xyz, knn_indices) - center).astype(features.dtype)
         weights = MLP([8, 16], act=self.act, name="weight_net")(
             rel_xyz, train=train
-        )  # [B, M, k, 16]
+        )  # [..., 16]
 
-        knn_feats = gather_points(features, knn_indices)  # [B, M, k, C+3]
+        knn_feats = gather(features, knn_indices)
         # [B, M, 16, C+3]; flatten weights-major to match the reference's
         # view(bs, n, -1) ordering (point_conv.py:65-66) for checkpoint parity.
         out = jnp.einsum(
-            "bmkw,bmkc->bmwc", weights, knn_feats, preferred_element_type=jnp.float32
+            einsum_spec, weights, knn_feats, preferred_element_type=jnp.float32
         ).astype(features.dtype)
         out = out.reshape(batch, n_samples, -1)
         out = dense(self.out_channels, name="linear")(out)

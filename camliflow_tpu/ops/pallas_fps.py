@@ -134,10 +134,14 @@ def _fps_pallas_impl(
         xyz_t[:, c].reshape(batch, _FOLD, cols) for c in range(3)
     ]  # 3 x [B, F, C]
     # flat [B*N_pad, 3] coordinate table for the dynamic-gather variant
-    # (row = b * N_pad + original index)
-    xyz_flat = jnp.pad(
-        xyz_f32, ((0, 0), (0, pad), (0, 0))
-    ).reshape(batch * _FOLD * cols, 3)
+    # (row = b * N_pad + original index); a dummy row when the variant is
+    # off so the default path doesn't pay the extra pad/copy/VMEM
+    if coord_gather:
+        xyz_flat = jnp.pad(
+            xyz_f32, ((0, 0), (0, pad), (0, 0))
+        ).reshape(batch * _FOLD * cols, 3)
+    else:
+        xyz_flat = jnp.zeros((8, 3), jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(

@@ -71,19 +71,13 @@ def gather_points_kmajor(
     Values bit-identical to `gather_points(data, indices)` transposed to
     k-major (the gather itself is exact in any dtype).
     """
+    from .pallas_update3d import _batched_spec as batched
+
     if interpret is None:
         interpret = not _on_tpu()  # CPU runs the interpreter (tests)
     batch, n, c = data.shape
     _, m, k = indices.shape
     idx = indices.astype(jnp.int32)
-
-    def batched(x):
-        nd = x.ndim
-        return pl.BlockSpec(
-            (1,) + x.shape[1:],
-            (lambda r: lambda b: (b,) + (0,) * (r - 1))(nd),
-            memory_space=pltpu.VMEM,
-        )
 
     out_sd = jax.ShapeDtypeStruct((batch, k, m, c), data.dtype)
     return pl.pallas_call(

@@ -38,13 +38,16 @@ def _epe_map(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
 class Evaluator:
     """Generic evaluator: build model, restore checkpoint, stream batches.
 
-    Multi-chip: with more than one device the batch is sharded over a 1-D
-    data mesh and the variables replicated — GSPMD runs each sample's
-    forward on its own chip (eval is per-sample independent, so this is
-    exact). The reference evaluates single-GPU (eval_things.py:139-151);
-    this is the TPU-pod scale-out of the same protocol. Batches whose
-    leading dim doesn't divide the mesh (the drop_last=False remainder)
-    fall back to the default placement.
+    Multi-chip: with more than one local device the batch is sharded over a
+    1-D data mesh and the forward runs under shard_map (per-shard a plain
+    single-device program — the Pallas fast-path kernels need no SPMD
+    partitioning rule), with variables replicated. Eval is per-sample
+    independent, so this is exact. The reference evaluates single-GPU
+    (eval_things.py:139-151); this scales the same protocol across one
+    host's chips (multi-host eval would additionally need per-process
+    dataset sharding — not implemented). Batches whose leading dim doesn't
+    divide the mesh (the drop_last=False remainder) fall back to the
+    single-device step.
     """
 
     def __init__(self, cfgs, variables=None, batch_size: int = 8, dataset=None):
@@ -53,10 +56,12 @@ class Evaluator:
         self.model = self.spec.module_cls(cfgs=cfgs.model.to_dict(), train_mode=False)
         self.infer_step = make_infer_step(self.model)
         self.mesh = None
+        self.infer_step_dp = None
         if jax.local_device_count() > 1:
             from ..parallel.mesh import make_mesh
 
-            self.mesh = make_mesh()
+            self.mesh = make_mesh(jax.local_devices())
+            self.infer_step_dp = make_infer_step(self.model, mesh=self.mesh)
 
         if dataset is None:
             from ..data.datasets import dataset_factory
@@ -86,17 +91,23 @@ class Evaluator:
         import jax.numpy as jnp
 
         arrays = {
-            k: jnp.asarray(v)
+            k: v
             for k, v in batch.items()
             if isinstance(v, np.ndarray) and k not in ("index", "input_h", "input_w")
         }
+        step = self.infer_step
         if self.mesh is not None and len(batch["index"]) % self.mesh.size == 0:
             from ..parallel.mesh import shard_batch
 
+            # one host->shards transfer (placing via jnp.asarray first would
+            # stage the full batch on device 0 and reshard device-to-device)
             arrays = shard_batch(arrays, self.mesh)
+            step = self.infer_step_dp
+        else:
+            arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
         params = self.variables["params"]
         batch_stats = self.variables.get("batch_stats")
-        out = self.infer_step(params, batch_stats, arrays)
+        out = step(params, batch_stats, arrays)
         return jax.tree.map(np.asarray, out)
 
     # ------------------------------------------------------------------

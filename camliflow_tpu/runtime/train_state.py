@@ -114,14 +114,56 @@ def make_eval_step(model_eval, loss_fn: Callable, cfgs: Any):
     return eval_step
 
 
-def make_infer_step(model_eval):
-    """Forward-only step returning model outputs (for eval scripts / demo)."""
+def make_infer_step(model_eval, mesh=None):
+    """Forward-only step returning model outputs (for eval scripts / demo).
 
-    @jax.jit
-    def infer_step(params, batch_stats, batch: dict):
+    With a `mesh`, the batch is sharded on its leading axis and the forward
+    runs under `shard_map`: per shard the model is a plain single-device
+    program, so the fast path's Pallas kernels need no SPMD partitioning
+    rule (a GSPMD jit would have to replicate or reject the custom calls).
+    Eval is per-sample independent, so the sharded run is exact. Params ride
+    replicated (P()); batch leaves shard on 'data'; output leaves shard on
+    the batch axis (axis 1 for the `*_seq` [T, B, ...] outputs).
+    """
+
+    def apply_fn(params, batch_stats, batch: dict):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         return model_eval.apply(variables, batch)
+
+    if mesh is None:
+        return jax.jit(apply_fn)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    cache = {}
+
+    def infer_step(params, batch_stats, batch: dict):
+        if "fn" not in cache:
+            # output pytree structure (needed for out_specs) via an abstract
+            # per-shard trace
+            shard_shapes = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    (x.shape[0] // mesh.size,) + x.shape[1:], x.dtype
+                ),
+                batch,
+            )
+            out = jax.eval_shape(apply_fn, params, batch_stats, shard_shapes)
+            out_specs = {
+                k: P(None, "data") if k.endswith("_seq") else P("data")
+                for k in out
+            }
+            cache["fn"] = jax.jit(
+                shard_map(
+                    apply_fn,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P("data")),
+                    out_specs=out_specs,
+                    check_rep=False,
+                )
+            )
+        return cache["fn"](params, batch_stats, batch)
 
     return infer_step

@@ -119,3 +119,21 @@ def test_things_protocol_data_parallel_matches(evaluator_factory):
     got = ev_dp.run_things()
     for key in base:
         np.testing.assert_allclose(got[key], base[key], rtol=1e-4, atol=1e-6)
+
+    # fast path under shard_map: the Pallas kernels (interpret mode on CPU)
+    # run per shard — the reason the DP step is shard_map, not a GSPMD jit
+    # (pallas_call has no SPMD partitioning rule)
+    cfgs_fast = Config(
+        {
+            **ev_small.cfgs.to_dict(),
+            "model": {
+                **ev_small.cfgs.model.to_dict(),
+                "fast_inference": "on",
+            },
+        }
+    )
+    ev_fast = Evaluator(
+        cfgs_fast, variables=ev_small.variables, batch_size=8, dataset=dataset
+    )
+    fast = ev_fast.run_things()
+    assert abs(fast["EPE3d"] - base["EPE3d"]) <= 0.02, (fast, base)
