@@ -94,6 +94,21 @@ def measure(model_name: str, batch_size: int = 1, n_steps: int = 10):
 
 
 def main():
+    # fail fast if the remote-TPU tunnel is down: jax.devices() on the axon
+    # backend blocks forever, which would silently burn the entire bench
+    # budget. First device contact is seconds when the tunnel is up.
+    import threading
+
+    devices = []
+    probe = threading.Thread(
+        target=lambda: devices.extend(jax.devices()), daemon=True
+    )
+    probe.start()
+    probe.join(timeout=300)
+    if not devices:
+        print("TPU unreachable: jax.devices() timed out", file=sys.stderr)
+        sys.exit(1)
+
     fps = measure("camliraft")
     result = {
         "metric": "camliraft_inference_960x540_8192pts",
