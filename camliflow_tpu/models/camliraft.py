@@ -26,9 +26,8 @@ from ..nn.clfm import CLFM
 from ..nn.layers import dense
 from ..nn.resnet import ResNetEncoder2D
 from ..ops.correlation import (
-    all_pairs_correlation_pyramid,
     corr_lookup_2d_padded,
-    pad_pyramid_for_lookup,
+    padded_pyramid_from_features,
     resolve_lookup_storage,
 )
 from ..ops.geometry import (
@@ -462,18 +461,21 @@ class CamLiRAFTCore(nn.Module):
         h_3d = nn.tanh(h_3d.astype(jnp.float32))
         x_3d = nn.relu(x_3d.astype(jnp.float32))
 
-        # all-pairs cost volumes, built once
+        # all-pairs cost volumes, built once; padded for the in-loop lookups
+        # (loop-invariant). The TPU eval fast path stores int8 and builds
+        # each level as one einsum against a padded pooled frame-2 table
+        # (padded_pyramid_from_features); training takes the exact
+        # build+pool+pad route inside the same call.
         aligner = dense(256, name="fnet_aligner_2d")
-        pyramid_2d = all_pairs_correlation_pyramid(
+        fast = fast_enc
+        storage = resolve_lookup_storage(self.lookup_storage, fast)
+        pyramid_2d = padded_pyramid_from_features(
             aligner(feat1_2d.astype(jnp.float32)),
             aligner(feat2_2d.astype(jnp.float32)),
             num_levels=4,
+            radius=FusedUpdateBlock.corr_radius,
+            storage=storage,
         )
-        # pad once for the in-loop lookups (loop-invariant); the TPU eval
-        # fast path stores the volume int8 (see pad_pyramid_for_lookup)
-        fast = fast_enc
-        storage = resolve_lookup_storage(self.lookup_storage, fast)
-        pyramid_2d = pad_pyramid_for_lookup(pyramid_2d, storage=storage)
         pyramid_3d = build_cost_volume_pyramid_3d(feat1_3d, feat2_3d, xyzs2)
 
         knn_indices = k_nearest_neighbor(xyz1, xyz1, k=32)
@@ -513,10 +515,16 @@ class CamLiRAFTCore(nn.Module):
             "x_3d": x_3d,
             "pyramid_2d": pyramid_2d,
             "knn_indices": knn_indices,
-            "up_idx": up_idx,
-            "up_weights": up_weights,
             "interp_cache_uv1": cache_uv1,
         }
+        # the 3D upsample tables are per-iteration inputs only when the scan
+        # body upsamples (training); at eval (final_only) upsampling happens
+        # once after the scan, so they stay OUT of the scan consts — the
+        # device trace showed their staging copies riding the loop-entry DMA
+        # band (PERF.md round-3 "scan-entry staging")
+        up_consts = {"up_idx": up_idx, "up_weights": up_weights}
+        if not self.final_only:
+            consts.update(up_consts)
         # concatenated once here — the scan body must not rebuild it.
         # Fast path: stored int8 with per-row scales — the selection kernel
         # re-reads the whole [N, sum(m_l)] pyramid every iteration (~130 MB
@@ -570,7 +578,7 @@ class CamLiRAFTCore(nn.Module):
             # consume every const fully so XLA cannot dead-code any of the
             # volume/cache construction
             total = h_2d.sum() + h_3d.sum() + x_2d.sum() + x_3d.sum()
-            for leaf in jax.tree_util.tree_leaves(consts):
+            for leaf in jax.tree_util.tree_leaves((consts, up_consts)):
                 total = total + leaf.astype(jnp.float32).sum()
             return total, h_3d.sum()
         scan = nn.scan(
@@ -590,7 +598,7 @@ class CamLiRAFTCore(nn.Module):
         if self.final_only:
             h_2d_f, _, flow_2d_f, flow_3d_f = carry
             flow_2d_up, flow_3d_up = update.upsample(
-                h_2d_f, flow_2d_f, flow_3d_f, consts
+                h_2d_f, flow_2d_f, flow_3d_f, up_consts
             )
             return flow_2d_up[None], flow_3d_up[None]  # [1, B, ...]
         return flow_2d_seq, flow_3d_seq

@@ -21,9 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.correlation import (
-    all_pairs_correlation_pyramid,
     corr_lookup_2d_padded,
-    pad_pyramid_for_lookup,
+    padded_pyramid_from_features,
     resolve_lookup_storage,
 )
 from ..ops.image import InputPadder, convex_upsample, mesh_grid
@@ -207,21 +206,23 @@ class RAFTCore(nn.Module):
         fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train=train)
         fmap1, fmap2 = fmaps[:batch], fmaps[batch:]
 
-        # all-pairs correlation (fnet_aligner: raft_core.py:47,52-54)
+        # all-pairs correlation (fnet_aligner: raft_core.py:47,52-54), padded
+        # once for the in-loop lookups (loop-invariant). The TPU eval fast
+        # path stores int8 and builds each level as one einsum against a
+        # padded pooled frame-2 table (padded_pyramid_from_features);
+        # training takes the exact build+pool+pad route inside the same call.
+        from ..ops.geometry import resolve_fast_inference
+
         aligner = dense(256, name="fnet_aligner")
-        pyramid = all_pairs_correlation_pyramid(
+        fast = resolve_fast_inference(self.fast_inference, self.final_only)
+        storage = resolve_lookup_storage(self.lookup_storage, fast)
+        pyramid = padded_pyramid_from_features(
             aligner(fmap1.astype(jnp.float32)),
             aligner(fmap2.astype(jnp.float32)),
             self.corr_levels,
+            self.corr_radius,
+            storage=storage,
         )
-
-        # pad once for the in-loop lookups (loop-invariant); the TPU eval
-        # fast path stores the volume int8 (see pad_pyramid_for_lookup)
-        from ..ops.geometry import resolve_fast_inference
-
-        fast = resolve_fast_inference(self.fast_inference, self.final_only)
-        storage = resolve_lookup_storage(self.lookup_storage, fast)
-        pyramid = pad_pyramid_for_lookup(pyramid, self.corr_radius, storage=storage)
 
         cnet = ResNetEncoder2D(depth=self.backbone_depth, name="cnet")(
             image1, train=train

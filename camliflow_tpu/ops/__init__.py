@@ -4,6 +4,7 @@ from .correlation import (
     all_pairs_correlation_pyramid,
     corr_lookup_2d,
     correlation2d,
+    padded_pyramid_from_features,
 )
 from .geometry import (
     backwarp_3d,
@@ -51,6 +52,7 @@ __all__ = [
     "knn_interpolation",
     "make_parallel_camera_info",
     "mesh_grid",
+    "padded_pyramid_from_features",
     "paral2persp",
     "persp2paral",
     "project_pc2image",

@@ -175,6 +175,89 @@ def pad_pyramid_for_lookup(
     return out
 
 
+def padded_pyramid_from_features(
+    fmap1: jax.Array,
+    fmap2: jax.Array,
+    num_levels: int = 4,
+    radius: int = 4,
+    storage: str = "split",
+):
+    """Build the padded lookup pyramid DIRECTLY from the aligned feature maps
+    — the fast-path fusion of `all_pairs_correlation_pyramid` +
+    `pad_pyramid_for_lookup`.
+
+    Key identity: avg-pooling the correlation volume over frame-2 pixels
+    equals correlating against avg-pooled frame-2 features (the dot product
+    is bilinear), and zero-padding the volume equals padding frame 2 with
+    zero FEATURE vectors. So each pyramid level is ONE einsum of fmap1
+    against a padded pooled w-major frame-2 table, quantised per row — the
+    pooling reads/writes of the f32 volume (~350 MB at 960x540), the
+    separate pad pass and its relaunch boundaries all disappear.
+
+    Semantics match `pad_pyramid_for_lookup(all_pairs_correlation_pyramid())`
+    up to f32 summation order (one HIGH-precision dot vs pool-of-dots,
+    ~1e-7 relative); pad columns are exact zeros either way. Training keeps
+    the exact path: storage="split" simply composes the two original
+    functions (bit-identical), so only the approximate int8/bf16 fast path
+    takes the fused route.
+
+    Reference semantics: models/raft_core.py:52-68 (volume + avg_pool2d
+    pyramid with floor cropping) + the lookup padding of raft_core.py:96-107.
+    """
+    if storage == "split":
+        return pad_pyramid_for_lookup(
+            all_pairs_correlation_pyramid(fmap1, fmap2, num_levels),
+            radius,
+            storage=storage,
+        )
+    assert storage in ("bf16", "int8"), storage
+    from .geometry import quantize_rows_int8
+
+    batch, height, width, dim = fmap1.shape
+    rows = batch * height * width
+    pad = _lookup_pad(radius)
+    f1 = fmap1.reshape(batch, rows // batch, dim).astype(jnp.float32)
+    scale = 1.0 / jnp.sqrt(jnp.float32(dim))
+
+    out = []
+    f2l = fmap2.astype(jnp.float32)
+    for i in range(num_levels):
+        if i:
+            # 2x2 avg pool of frame-2 FEATURES == avg pool of the volume
+            # (floor semantics: odd trailing rows/cols dropped, matching
+            # all_pairs_correlation_pyramid / reference avg_pool2d)
+            b2, lh, lw, c = f2l.shape
+            f2l = jnp.mean(
+                f2l[:, : lh // 2 * 2, : lw // 2 * 2].reshape(
+                    b2, lh // 2, 2, lw // 2, 2, c
+                ),
+                axis=(2, 4),
+            )
+        lh, lw = f2l.shape[1:3]
+        ph, pw = lh + 2 * pad, lw + 2 * pad
+        # padded w-major table [B, C, pw*ph]: column x*ph + y holds the
+        # (pooled) feature of frame-2 pixel (y-pad, x-pad), zeros elsewhere —
+        # a zero feature column dots to an exact zero corr value
+        tab = jnp.pad(f2l, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        tab = tab.transpose(0, 3, 2, 1).reshape(batch, dim, pw * ph)
+        vol = (
+            jnp.einsum(
+                "bnd,bdm->bnm",
+                f1,
+                tab,
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        ).reshape(rows, pw * ph)
+        if storage == "int8":
+            q, qscale = quantize_rows_int8(vol)
+            out.append((q.reshape(rows, pw, ph), qscale[:, 0]))
+        else:
+            out.append(vol.astype(jnp.bfloat16).reshape(rows, pw, ph))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "storage"))
 def corr_lookup_2d(
     pyramid: list[jax.Array], coords: jax.Array, radius: int = 4,

@@ -141,6 +141,79 @@ def test_corr_lookup_fast_path_close_to_exact(rng, storage, rel_bound):
     np.testing.assert_allclose(fast, exact, atol=scale * rel_bound)
 
 
+@pytest.mark.parametrize("storage", ["bf16", "int8"])
+def test_padded_pyramid_from_features_matches_two_step(rng, storage):
+    """The fused table build (one einsum per level against padded pooled
+    frame-2 features) == build + pool + pad + quantise, up to f32 summation
+    order: dequantised values agree within one int8 quantisation step, pad
+    regions are exact zeros, and per-row scales match to f32 rounding."""
+    from camliflow_tpu.ops.correlation import (
+        pad_pyramid_for_lookup,
+        padded_pyramid_from_features,
+    )
+
+    f1 = rng.randn(2, 8, 12, 16).astype(np.float32)
+    f2 = rng.randn(2, 8, 12, 16).astype(np.float32)
+    want = pad_pyramid_for_lookup(
+        ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3),
+        radius=2,
+        storage=storage,
+    )
+    got = padded_pyramid_from_features(
+        jnp.asarray(f1), jnp.asarray(f2), num_levels=3, radius=2,
+        storage=storage,
+    )
+    assert len(got) == len(want) == 3
+    pad = 2 * 2 + 2
+    for level, (g, w) in enumerate(zip(got, want)):
+        if storage == "int8":
+            (gq, gs), (wq, ws) = g, w
+            assert gq.shape == wq.shape and gq.dtype == jnp.int8
+            np.testing.assert_allclose(
+                np.asarray(gs), np.asarray(ws), rtol=1e-5
+            )
+            gv = np.asarray(gq, np.float32) * np.asarray(gs)[:, None, None]
+            wv = np.asarray(wq, np.float32) * np.asarray(ws)[:, None, None]
+            # one quantisation step: f32 rounding can flip an LSB at ties
+            step = np.asarray(ws)[:, None, None] + 1e-12
+            assert np.max(np.abs(gv - wv) / step) <= 1.0 + 1e-3
+            padded_vals = np.asarray(gq)
+        else:
+            assert g.shape == w.shape and g.dtype == jnp.bfloat16
+            gv = np.asarray(g, np.float32)
+            wv = np.asarray(w, np.float32)
+            scale = np.abs(wv).max()
+            np.testing.assert_allclose(gv, wv, atol=scale * 2.0**-8)
+            padded_vals = gv
+        # pad margin must be exactly zero (zero feature columns dot to 0)
+        assert np.all(padded_vals[:, :pad, :] == 0)
+        assert np.all(padded_vals[:, -pad:, :] == 0)
+        assert np.all(padded_vals[:, :, :pad] == 0)
+        assert np.all(padded_vals[:, :, -pad:] == 0)
+
+
+def test_padded_pyramid_from_features_split_is_exact(rng):
+    """storage='split' composes the exact two-step path bit-identically."""
+    from camliflow_tpu.ops.correlation import (
+        pad_pyramid_for_lookup,
+        padded_pyramid_from_features,
+    )
+
+    f1 = rng.randn(1, 8, 12, 16).astype(np.float32)
+    f2 = rng.randn(1, 8, 12, 16).astype(np.float32)
+    want = pad_pyramid_for_lookup(
+        ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3),
+        radius=2,
+        storage="split",
+    )
+    got = padded_pyramid_from_features(
+        jnp.asarray(f1), jnp.asarray(f2), num_levels=3, radius=2,
+        storage="split",
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_corr_lookup_gradient_parity(rng):
     """jax.grad through the split-storage lookup vs torch autograd through the
     reference pyramid+lookup (the bf16 hi/lo einsums quantise cotangents to

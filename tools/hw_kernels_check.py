@@ -247,6 +247,53 @@ def _fps_gather():
               flush=True)
 
 
+@section("fused_pyramid")
+def _fused_pyramid():
+    # padded_pyramid_from_features (one einsum/level vs padded pooled
+    # frame-2 features) vs the two-step build+pool+pad+quant, at the
+    # flagship's level-0 shape (960x540 /8 = 120x68). Parity: dequantised
+    # values within one int8 step; timing: 10-call loop, device-synced.
+    from camliflow_tpu.ops.correlation import (
+        all_pairs_correlation_pyramid,
+        pad_pyramid_for_lookup,
+        padded_pyramid_from_features,
+    )
+
+    h, w, c = 68, 120, 256
+    f1 = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32))
+
+    two_step = jax.jit(
+        lambda a, b: pad_pyramid_for_lookup(
+            all_pairs_correlation_pyramid(a, b, 4), 4, storage="int8"
+        )
+    )
+    fused = jax.jit(
+        lambda a, b: padded_pyramid_from_features(
+            a, b, num_levels=4, radius=4, storage="int8"
+        )
+    )
+    want, got = two_step(f1, f2), fused(f1, f2)
+    for lvl, ((gq, gs), (wq, ws)) in enumerate(zip(got, want)):
+        gv = np.asarray(gq, np.float32) * np.asarray(gs)[:, None, None]
+        wv = np.asarray(wq, np.float32) * np.asarray(ws)[:, None, None]
+        step = np.asarray(ws)[:, None, None] + 1e-12
+        worst = float(np.max(np.abs(gv - wv) / step))
+        print(f"fused_pyramid L{lvl}: worst |d|/qstep = {worst:.3f}",
+              flush=True)
+        assert worst <= 1.5, f"L{lvl} exceeds one quant step: {worst}"
+
+    for name, fn in (("two_step", two_step), ("fused", fused)):
+        out = fn(f1, f2)
+        float(jnp.sum(out[0][0][0, :1].astype(jnp.float32)))  # sync
+        t0 = time.time()
+        for _ in range(10):
+            out = fn(f1, f2)
+        float(jnp.sum(out[0][0][0, :1].astype(jnp.float32)))
+        print(f"fused_pyramid {name}: {(time.time()-t0)/10*1000:.2f} ms/call",
+              flush=True)
+
+
 if FAILED:
     print(f"HW KERNEL CHECK: {len(FAILED)} section(s) FAILED: {FAILED}",
           flush=True)
