@@ -101,6 +101,87 @@ def cmd_numerics(models=("camliraft",)):
             )
 
 
+def cmd_train(model_name="camliraft", n_steps=5):
+    """Device-synced training-step timing (fwd+bwd+adamw), PERF.md protocol:
+    640x384 images, bs=2, n_iters_train=10. MEASURE_COMPUTE_DTYPE=bfloat16
+    gives the AMP A/B."""
+    import os
+
+    from camliflow_tpu.models import camliraft as flagship
+    from camliflow_tpu.models.factory import (
+        model_factory,
+        optimizer_factory,
+    )
+    from camliflow_tpu.runtime.train_state import TrainState, make_train_step
+    from camliflow_tpu.utils.config import Config, load_yaml
+
+    cfgs = load_yaml(f"conf/model/{model_name}.yaml")["model"]
+    cfgs["n_iters_train"] = 10
+    cfgs["batch_size"] = 2
+    if os.environ.get("MEASURE_COMPUTE_DTYPE"):
+        cfgs["compute_dtype"] = os.environ["MEASURE_COMPUTE_DTYPE"]
+    spec = model_factory(cfgs)
+
+    rng = np.random.RandomState(0)
+    b, h, w, n = 2, 384, 640, 8192
+    if os.environ.get("MEASURE_TRAIN_SHAPE"):  # "b,h,w,n" (CPU smoke tests)
+        b, h, w, n = (int(x) for x in
+                      os.environ["MEASURE_TRAIN_SHAPE"].split(","))
+    images = rng.randint(0, 255, size=(b, h, w, 6)).astype(np.float32)
+    pc1 = rng.randn(b, n, 3).astype(np.float32)
+    pc1[..., 2] = np.abs(pc1[..., 2]) * 15.0 + 5.0
+    pc2 = pc1 + 0.05 * rng.randn(b, n, 3).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(images),
+        "pcs": jnp.asarray(np.concatenate([pc1, pc2], axis=-1)),
+        "intrinsics": jnp.asarray(
+            np.tile([1050.0, (w - 1) / 2, (h - 1) / 2], (b, 1)).astype(
+                np.float32
+            )
+        ),
+        "flow_2d": jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32)),
+        "flow_3d": jnp.asarray(pc2 - pc1),
+    }
+
+    model = spec.module_cls(cfgs=cfgs.to_dict(), train_mode=True)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    training_cfgs = Config(
+        {
+            "opt": "adamw", "weight_decay": 1e-6, "grad_max_norm": 1,
+            "epochs": 1, "lr_2d": 2e-4, "lr_3d": 2e-3, "warmup_epochs": 0,
+            "min_lr": 1e-5,
+        }
+    )
+    tx = optimizer_factory(training_cfgs, variables["params"], steps_per_epoch=10)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    train_step = make_train_step(model, flagship.loss_fn, tx, cfgs, donate=False)
+
+    t0 = time.perf_counter()
+    state, loss, _, _ = train_step(state, batch)
+    float(loss)  # device sync
+    print(f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+    state, loss, _, _ = train_step(state, batch)
+    float(loss)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, loss, _, _ = train_step(state, batch)
+        float(loss)
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+    print(
+        f"{model_name} train step (bs={b}, {w}x{h}, 10 iters): "
+        f"{best*1e3:.1f} ms = {b/best:.2f} pairs/sec/chip "
+        f"(compute_dtype={cfgs.get('compute_dtype', 'float32')})",
+        flush=True,
+    )
+
+
 def cmd_bytes():
     from bench import make_inputs
     from camliflow_tpu.models.factory import model_factory
@@ -129,6 +210,9 @@ if __name__ == "__main__":
                  *(int(a) for a in sys.argv[3:4]))
     elif cmd == "numerics":
         cmd_numerics(tuple(sys.argv[2:]) or ("camliraft",))
+    elif cmd == "train":
+        cmd_train(*(sys.argv[2:3] or ["camliraft"]),
+                  *(int(a) for a in sys.argv[3:4]))
     elif cmd == "bytes":
         cmd_bytes()
     else:
