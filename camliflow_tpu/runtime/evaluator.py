@@ -88,6 +88,10 @@ class Evaluator:
             self.variables = replicate_tree(self.variables, self.mesh)
 
     def _forward(self, batch: dict) -> dict:
+        return jax.tree.map(np.asarray, self._forward_device(batch))
+
+    def _forward_device(self, batch: dict) -> dict:
+        """Enqueue the forward and return DEVICE arrays (no host sync)."""
         import jax.numpy as jnp
 
         arrays = {
@@ -107,8 +111,22 @@ class Evaluator:
             arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
         params = self.variables["params"]
         batch_stats = self.variables.get("batch_stats")
-        out = step(params, batch_stats, arrays)
-        return jax.tree.map(np.asarray, out)
+        return step(params, batch_stats, arrays)
+
+    def _batches(self):
+        """Yield (batch, outputs-as-numpy) with one batch of lookahead:
+        batch i+1's forward is ENQUEUED before batch i's outputs are
+        fetched, so the per-sample numpy metric math below overlaps the
+        chip instead of leaving it idle between forwards (JAX async
+        dispatch; the fetch is the only sync point)."""
+        pending = None
+        for batch in self.loader:
+            out = self._forward_device(batch)
+            if pending is not None:
+                yield pending[0], jax.tree.map(np.asarray, pending[1])
+            pending = (batch, out)
+        if pending is not None:
+            yield pending[0], jax.tree.map(np.asarray, pending[1])
 
     # ------------------------------------------------------------------
     def run_things(self, save_results: bool = False, save_dir: str = "prediction/things"):
@@ -117,8 +135,7 @@ class Evaluator:
         m3d = defaultdict(float)
         m3d_noc = defaultdict(float)
 
-        for batch in self.loader:
-            outputs = self._forward(batch)
+        for batch, outputs in self._batches():
             batch_n = len(batch["index"])
             for b in range(batch_n):
                 if "flow_2d" in outputs:
@@ -193,8 +210,7 @@ class Evaluator:
     def run_sintel(self):
         """eval_sintel.py protocol: per-scene 2D AEPE + total."""
         per_scene = defaultdict(lambda: defaultdict(float))
-        for batch in self.loader:
-            outputs = self._forward(batch)
+        for batch, outputs in self._batches():
             for b in range(len(batch["index"])):
                 scene = batch["scene_name"][b]
                 pred = outputs["flow_2d"][b]
@@ -224,8 +240,7 @@ class Evaluator:
         per_sample_average=True,  use_noc_mask=False -> kitti_{occ,noc}_sf
         """
         m = defaultdict(float)
-        for batch in self.loader:
-            outputs = self._forward(batch)
+        for batch, outputs in self._batches():
             for b in range(len(batch["index"])):
                 pred = outputs["flow_3d"][b]
                 target = batch["flow_3d"][b][..., :3]

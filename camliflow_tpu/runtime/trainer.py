@@ -198,9 +198,20 @@ class Trainer:
         epoch_metrics: dict = {}
         bad_loss = BadLossChecker()
         t0 = time.time()
-        for i, batch in enumerate(self.train_loader):
-            batch = self._host_batch(batch)
-            self.state, loss, metrics, telemetry = self.train_step(self.state, batch)
+        print_interval = int(self.cfgs.log.get("print_interval", 50))
+
+        # One-step-delayed host fetch: step i's loss/metrics are device
+        # futures consumed only AFTER step i+1 is enqueued, so the chip runs
+        # step i+1 while the host merges metrics, shards the next batch and
+        # logs — instead of idling on every np.asarray (the reference's
+        # per-step .item() pattern serialises the same way on GPU,
+        # train.py:188-206; here the fetch is the only host sync point).
+        # BadLossChecker therefore fires one step late, which does not
+        # change its semantics (divergence persists across steps).
+        pending = None  # (step_idx, loss, metrics, telemetry) device refs
+
+        def consume(step_idx, loss, metrics, telemetry):
+            nonlocal epoch_metrics
             epoch_metrics = merge_metrics(
                 epoch_metrics, jax.tree.map(np.asarray, metrics)
             )
@@ -209,17 +220,26 @@ class Trainer:
                     f"loss diverged for {bad_loss.patience} consecutive steps "
                     f"(last: {float(loss)}); aborting"
                 )
-            if self.is_main and i % int(self.cfgs.log.get("print_interval", 50)) == 0:
+            if self.is_main and step_idx % print_interval == 0:
                 logger.info(
                     "E %d S %d loss %.4f g2d %.3f g3d %.3f %.2fs/it mem %.2fGB",
                     epoch + 1,
-                    i,
+                    step_idx,
                     float(loss),
                     float(telemetry["grad_norm_2d"]),
                     float(telemetry["grad_norm_3d"]),
-                    (time.time() - t0) / (i + 1),
+                    (time.time() - t0) / (step_idx + 1),
                     _device_memory_gb(),
                 )
+
+        for i, batch in enumerate(self.train_loader):
+            batch = self._host_batch(batch)
+            self.state, loss, metrics, telemetry = self.train_step(self.state, batch)
+            if pending is not None:
+                consume(*pending)
+            pending = (i, loss, metrics, telemetry)
+        if pending is not None:
+            consume(*pending)
         summary = finalize_metrics(epoch_metrics)
         logger.info("train epoch %d: %s", epoch + 1, _fmt(summary))
         self._dump_scalars("train", epoch, summary)
@@ -228,6 +248,7 @@ class Trainer:
         logger.info("validating epoch %d", epoch + 1)
         agg: dict = {}
         first_batch = None
+        pending = None  # one-step-delayed fetch (same pipelining as training)
         for batch in self.val_loader:
             batch = self._host_batch(batch)
             if first_batch is None:
@@ -235,7 +256,11 @@ class Trainer:
             metrics = self.eval_step(
                 self.state.params, self.state.batch_stats, batch
             )
-            agg = merge_metrics(agg, jax.tree.map(np.asarray, metrics))
+            if pending is not None:
+                agg = merge_metrics(agg, jax.tree.map(np.asarray, pending))
+            pending = metrics
+        if pending is not None:
+            agg = merge_metrics(agg, jax.tree.map(np.asarray, pending))
         summary = finalize_metrics(agg)
         logger.info("val epoch %d: %s", epoch + 1, _fmt(summary))
         self._dump_scalars("val", epoch, summary)
