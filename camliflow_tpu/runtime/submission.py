@@ -65,17 +65,30 @@ class SubmissionWriter:
         for sub in ("disp_0", "flow_initial", "disp_1_initial", "occ"):
             os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
-        for batch in self.loader:
+        def forward_device(batch):
             arrays = {
                 k: jnp.asarray(v)
                 for k, v in batch.items()
                 if isinstance(v, np.ndarray) and k not in ("index", "input_h", "input_w")
             }
-            outputs = self.infer_step(
+            return self.infer_step(
                 self.variables["params"], self.variables.get("batch_stats"), arrays
             )
-            outputs = jax.tree.map(np.asarray, outputs)
 
+        def batches():
+            # one-batch lookahead: the next forward is enqueued before this
+            # batch's outputs are fetched, so the per-frame PNG encoding
+            # below overlaps device compute (same pipelining as Evaluator)
+            pending = None
+            for batch in self.loader:
+                out = forward_device(batch)
+                if pending is not None:
+                    yield pending[0], jax.tree.map(np.asarray, pending[1])
+                pending = (batch, out)
+            if pending is not None:
+                yield pending[0], jax.tree.map(np.asarray, pending[1])
+
+        for batch, outputs in batches():
             for b in range(len(batch["index"])):
                 test_id = int(batch["index"][b])
                 input_h = int(batch["input_h"][b])
