@@ -142,18 +142,22 @@ def test_corr_lookup_fast_path_close_to_exact(rng, storage, rel_bound):
 
 
 @pytest.mark.parametrize("storage", ["bf16", "int8"])
-def test_padded_pyramid_from_features_matches_two_step(rng, storage):
+@pytest.mark.parametrize("hw", [(8, 12), (9, 13)])  # odd dims: floor-crop pool
+def test_padded_pyramid_from_features_matches_two_step(rng, storage, hw):
     """The fused table build (one einsum per level against padded pooled
     frame-2 features) == build + pool + pad + quantise, up to f32 summation
     order: dequantised values agree within one int8 quantisation step, pad
-    regions are exact zeros, and per-row scales match to f32 rounding."""
+    regions are exact zeros, and per-row scales match to f32 rounding. The
+    odd-dims case pins the floor-crop pooling semantics (odd trailing
+    rows/cols dropped, matching reference avg_pool2d / raft_core.py:62-68)."""
     from camliflow_tpu.ops.correlation import (
         pad_pyramid_for_lookup,
         padded_pyramid_from_features,
     )
 
-    f1 = rng.randn(2, 8, 12, 16).astype(np.float32)
-    f2 = rng.randn(2, 8, 12, 16).astype(np.float32)
+    h, w = hw
+    f1 = rng.randn(2, h, w, 16).astype(np.float32)
+    f2 = rng.randn(2, h, w, 16).astype(np.float32)
     want = pad_pyramid_for_lookup(
         ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3),
         radius=2,
