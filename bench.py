@@ -109,12 +109,11 @@ def main():
         print("TPU unreachable: jax.devices() timed out", file=sys.stderr)
         sys.exit(1)
 
-    fps = measure("camliraft")
     result = {
         "metric": "camliraft_inference_960x540_8192pts",
-        "value": round(fps, 3),
+        "value": 0.0,
         "unit": "frame-pairs/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "vs_baseline": 0.0,
         "batch_size": 1,
         "n_iters": 20,
         # the 50 fps north star is stated for TPU v5p (BASELINE.md); this
@@ -124,6 +123,16 @@ def main():
         "device": str(jax.devices()[0].device_kind),
         "secondary": [],
     }
+    # EVERY model is try/except-wrapped — round 3's lesson: one flagship
+    # compile failure must never leave an empty BENCH_r*.json. A failed
+    # flagship keeps value=0 but the secondaries (and the error) still land.
+    try:
+        fps = measure("camliraft")
+        result["value"] = round(fps, 3)
+        result["vs_baseline"] = round(fps / BASELINE_FPS, 4)
+    except Exception as e:
+        print(f"camliraft failed: {type(e).__name__}: {e}", file=sys.stderr)
+        result["error"] = f"{type(e).__name__}: {str(e)[:500]}"
     for name, metric in (
         ("camliraft_l", "camliraft_l_inference_8192pts"),
         ("raft", "raft_inference_960x540"),

@@ -155,12 +155,17 @@ class Correlation3D(nn.Module):
 
             # indices + selected costs in one kernel (the cost rides the
             # selection mask; an XLA take_along_axis here is 131K
-            # single-float gathers at ~1.5 ms/iter). approx=True: bf16
-            # kernel passes — selection flips only between bf16-tied
-            # neighbours and the per-level k-sum is order-invariant
+            # single-float gathers at ~1.5 ms/iter). approx=True (bf16
+            # kernel passes) FAILS Mosaic lowering on real v5e hardware
+            # (invalid relayout of the vector<TxWxi1> selection mask, both
+            # tile 128 and 256; probed 2026-08-18) — gated off until the
+            # lowering is fixed upstream. The f32 path is the validated
+            # r2/r3 bench program.
+            from ..ops.pallas_corr3d import corr3d_approx_enabled
+
             idx_cat, knn_cost = correlation3d_knn_pallas(
                 xyz1, xyz2_warp_full, pyramid, tuple(level_sizes), k=self.k,
-                approx=True,
+                approx=corr3d_approx_enabled(),
             )  # [B, N, L*k] each
             if tail_params is not None:
                 # fused tail: gather + dequant + cost MLP + merge in one

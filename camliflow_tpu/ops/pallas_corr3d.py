@@ -297,6 +297,21 @@ def correlation3d_knn_pallas(
 # ---------------------------------------------------------------------------
 
 
+def corr3d_approx_enabled() -> bool:
+    """Trace-time switch for bf16 (approx) corr3d selection.
+
+    Default OFF: the bf16 compute path fails Mosaic compilation on real
+    v5e hardware ("Invalid relayout ... vector<256x256xi1>" — the i1
+    selection mask of the bf16 distance compare cannot be relayouted;
+    reproduced 2026-08-18 at both _TILE_N=128 and 256, while the f32 path
+    compiles at both). Export CAMLIFLOW_CORR3D_APPROX=1 to re-test after a
+    jax/Mosaic upgrade.
+    """
+    import os
+
+    return os.environ.get("CAMLIFLOW_CORR3D_APPROX", "0") != "0"
+
+
 def corr3d_tail_enabled() -> bool:
     """Trace-time switch for the fused Correlation3D tail kernel.
 
@@ -349,6 +364,10 @@ def _corr3d_tail_kernel(
     xyz2 = xyz2_ref[0].astype(jnp.float32)  # [M0, 3]
     scale = scale_ref[0].astype(jnp.float32)  # [N, 1]
     n = xyz1.shape[0]
+    # Mosaic's take_along_axis lowers only same-shape gathers (probed
+    # 2026-08-18): pad the table up to the query count (indices stay < M0)
+    if xyz2.shape[0] < n:
+        xyz2 = jnp.pad(xyz2, ((0, n - xyz2.shape[0]), (0, 0)))
     k1 = k1_ref[...].astype(jnp.float32)  # [4, C1]
     b1 = b1_ref[...].astype(jnp.float32)
     k2 = k2_ref[...].astype(jnp.float32)

@@ -182,6 +182,28 @@ def cmd_train(model_name="camliraft", n_steps=5):
     )
 
 
+def cmd_compile(models=("camliraft",)):
+    """AOT compile-only smoke: lower + backend-compile each model's eval
+    forward at FULL resolution on the real chip, no execution. This is the
+    cheap gate (one compile, no timing loop) that every default-path kernel
+    or formulation change MUST pass before landing — round 3 shipped a
+    Mosaic-uncompilable default because only interpret-mode tests ran.
+    Exit code = number of models that failed to compile."""
+    failed = 0
+    for model_name in models:
+        t0 = time.perf_counter()
+        try:
+            forward, variables, inputs = build(model_name)
+            forward.lower(variables, inputs).compile()
+            print(f"{model_name}: compile OK "
+                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
+        except Exception as e:
+            failed += 1
+            print(f"{model_name}: COMPILE FAILED ({time.perf_counter()-t0:.0f}s) "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+    raise SystemExit(failed)
+
+
 def cmd_bytes():
     from bench import make_inputs
     from camliflow_tpu.models.factory import model_factory
@@ -213,6 +235,8 @@ if __name__ == "__main__":
     elif cmd == "train":
         cmd_train(*(sys.argv[2:3] or ["camliraft"]),
                   *(int(a) for a in sys.argv[3:4]))
+    elif cmd == "compile":
+        cmd_compile(tuple(sys.argv[2:]) or ("camliraft",))
     elif cmd == "bytes":
         cmd_bytes()
     else:
