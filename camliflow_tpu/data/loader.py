@@ -95,7 +95,10 @@ class DataLoader:
                 self.shard_index * self.local_batch : (self.shard_index + 1)
                 * self.local_batch
             ]
-            batches.append(local)
+            # drop_last=False remainder batches can leave later shards empty
+            # (eval: the cross-shard metric sums make this exact anyway)
+            if len(local):
+                batches.append(local)
 
         if self.num_workers <= 0:
             for local in batches:

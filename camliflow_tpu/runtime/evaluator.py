@@ -44,14 +44,31 @@ class Evaluator:
     partitioning rule), with variables replicated. Eval is per-sample
     independent, so this is exact. The reference evaluates single-GPU
     (eval_things.py:139-151); this scales the same protocol across one
-    host's chips (multi-host eval would additionally need per-process
-    dataset sharding — not implemented). Batches whose leading dim doesn't
-    divide the mesh (the drop_last=False remainder) fall back to the
-    single-device step.
+    host's chips. Batches whose leading dim doesn't divide the mesh (the
+    drop_last=False remainder) fall back to the single-device step.
+
+    Multi-host: each process evaluates a contiguous 1/num_shards slice of
+    every batch (DataLoader shard_index/num_shards, defaulting to
+    jax.process_index/count) and the per-protocol (sum, count) accumulators
+    are summed across processes before the final ratios — exact, because
+    every metric in every protocol is a pure sum over samples. Per-scene
+    Sintel logs stay per-process; the returned totals are global.
     """
 
-    def __init__(self, cfgs, variables=None, batch_size: int = 8, dataset=None):
+    def __init__(
+        self,
+        cfgs,
+        variables=None,
+        batch_size: int = 8,
+        dataset=None,
+        shard_index: int | None = None,
+        num_shards: int | None = None,
+    ):
         self.cfgs = cfgs
+        self.num_shards = jax.process_count() if num_shards is None else num_shards
+        self.shard_index = (
+            jax.process_index() if shard_index is None else shard_index
+        )
         self.spec = model_factory(cfgs.model)
         self.model = self.spec.module_cls(cfgs=cfgs.model.to_dict(), train_mode=False)
         self.infer_step = make_infer_step(self.model)
@@ -74,6 +91,8 @@ class Evaluator:
             shuffle=False,
             num_workers=int(cfgs.testset.get("n_workers", 4)),
             drop_last=False,
+            shard_index=self.shard_index,
+            num_shards=self.num_shards,
         )
 
         if variables is not None:
@@ -128,6 +147,22 @@ class Evaluator:
         if pending is not None:
             yield pending[0], jax.tree.map(np.asarray, pending[1])
 
+    def _reduce_sums(self, m: dict, keys: tuple) -> dict:
+        """Sum fixed-key accumulators across eval processes.
+
+        Keys are an explicit static tuple (not m.keys()): defaultdict key
+        sets can differ per shard (e.g. a shard whose batches carry no
+        occ_mask_3d), and a ragged allgather would deadlock.
+        """
+        vec = np.array([float(m[k]) for k in keys], np.float64)
+        if self.num_shards > 1 and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            vec = np.asarray(multihost_utils.process_allgather(vec)).sum(
+                axis=0
+            )
+        return dict(zip(keys, vec))
+
     # ------------------------------------------------------------------
     def run_things(self, save_results: bool = False, save_dir: str = "prediction/things"):
         """eval_things.py protocol."""
@@ -181,6 +216,9 @@ class Evaluator:
                     if save_results:
                         self._save_flow3d(save_dir, batch["index"][b], pred)
 
+        m2d = self._reduce_sums(m2d, ("counts", "EPE2d", "1px", "Fl"))
+        m3d = self._reduce_sums(m3d, ("counts", "EPE3d", "5cm", "10cm"))
+        m3d_noc = self._reduce_sums(m3d_noc, ("counts", "EPE3d", "5cm", "10cm"))
         results = {}
         if m2d["counts"] > 0:
             results["EPE2d"] = m2d["EPE2d"] / m2d["counts"]
@@ -227,7 +265,10 @@ class Evaluator:
             total_epe += m["EPE2d"]
             total_count += m["counts"]
             logger.info("%s:\t%.3f", scene, m["EPE2d"] / m["counts"])
-        result = total_epe / max(total_count, 1)
+        totals = self._reduce_sums(
+            {"EPE2d": total_epe, "counts": total_count}, ("EPE2d", "counts")
+        )
+        result = totals["EPE2d"] / max(totals["counts"], 1)
         logger.info("Total:\t%.3f", result)
         return {"AEPE": result}
 
@@ -279,6 +320,9 @@ class Evaluator:
                         m["AccR"] += np.count_nonzero(acc_r)
                         m["Outlier"] += np.count_nonzero(outlier)
 
+        m = self._reduce_sums(
+            m, ("counts", "EPE3d", "AccS", "AccR", "Outlier")
+        )
         results = {
             "EPE3d": m["EPE3d"] / m["counts"],
             "AccS": m["AccS"] / m["counts"],

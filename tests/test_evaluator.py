@@ -137,3 +137,61 @@ def test_things_protocol_data_parallel_matches(evaluator_factory):
     )
     fast = ev_fast.run_things()
     assert abs(fast["EPE3d"] - base["EPE3d"]) <= 0.02, (fast, base)
+
+
+def test_multihost_shard_accumulators_match(evaluator_factory):
+    """Multi-host eval sharding (loader shard_index/num_shards + fixed-key
+    cross-process sums): the per-shard accumulator vectors must sum to the
+    unsharded run's, including a drop_last=False remainder batch that leaves
+    shard 1 empty (n=5, global batch 2, 2 shards)."""
+    from camliflow_tpu.runtime.evaluator import Evaluator
+
+    dataset = SyntheticPCDataset(n_samples=5)
+    ev_base = evaluator_factory(dataset)
+
+    captured: dict[int, list[np.ndarray]] = {}
+
+    def make_capturing(tag):
+        orig = Evaluator._reduce_sums
+
+        def capture(self, m, keys):
+            captured.setdefault(tag, []).append(
+                np.array([float(m[k]) for k in keys], np.float64)
+            )
+            return orig(self, m, keys)
+
+        return capture
+
+    base_results = []
+    for tag, ev in (
+        (
+            -1,
+            ev_base,
+        ),
+        (
+            0,
+            Evaluator(
+                ev_base.cfgs, variables=ev_base.variables, batch_size=2,
+                dataset=dataset, shard_index=0, num_shards=2,
+            ),
+        ),
+        (
+            1,
+            Evaluator(
+                ev_base.cfgs, variables=ev_base.variables, batch_size=2,
+                dataset=dataset, shard_index=1, num_shards=2,
+            ),
+        ),
+    ):
+        Evaluator._reduce_sums, orig = make_capturing(tag), Evaluator._reduce_sums
+        try:
+            base_results.append(ev.run_things())
+        finally:
+            Evaluator._reduce_sums = orig
+
+    # each run_things reduces 3 accumulators (2d, 3d, 3d_noc) in order
+    assert len(captured[-1]) == len(captured[0]) == len(captured[1]) == 3
+    for vec_all, vec0, vec1 in zip(captured[-1], captured[0], captured[1]):
+        np.testing.assert_allclose(vec0 + vec1, vec_all, rtol=1e-6)
+    # every sample was evaluated exactly once across shards (counts entry)
+    assert captured[0][1][0] + captured[1][1][0] == captured[-1][1][0] > 0
