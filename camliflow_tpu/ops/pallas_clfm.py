@@ -54,9 +54,12 @@ _BF16 = jnp.bfloat16
 def clfm_pallas_enabled() -> bool:
     """Trace-time switch for the fused CLFM kernel.
 
-    Default OFF until the `tpu.dynamic_gather` lowering is validated on real
-    hardware (interpret-mode tests cannot catch a Mosaic lowering gap);
-    export CAMLIFLOW_CLFM=1 to opt in.
+    Hardware verdict 2026-08-19 (tools/probe_gather_matrix.py): this
+    toolchain's Mosaic backend rejects EVERY dim-0 tpu.dynamic_gather (any
+    dtype, any shape), so this kernel cannot compile on the current chip
+    stack; the flag stays "0" until a toolchain upgrade (PERF.md round-4
+    gather-probe verdict). Export CAMLIFLOW_CLFM=1 to re-test after an
+    upgrade.
     """
     return os.environ.get("CAMLIFLOW_CLFM", "0") != "0"
 

@@ -315,9 +315,8 @@ def corr3d_approx_enabled() -> bool:
 def corr3d_tail_enabled() -> bool:
     """Trace-time switch for the fused Correlation3D tail kernel.
 
-    Default OFF until the `tpu.dynamic_gather` lowering is validated on real
-    hardware (the same protocol as CAMLIFLOW_UPDATE3D); export
-    CAMLIFLOW_CORR3D_TAIL=1 to opt in.
+    Hardware verdict 2026-08-19 (tools/probe_gather_matrix.py): this toolchain's Mosaic backend rejects EVERY dim-0 tpu.dynamic_gather (any dtype, any shape), so this kernel cannot compile on the current chip stack; the flag stays "0" until a toolchain upgrade (PERF.md round-4 gather-probe verdict).
+    Export CAMLIFLOW_CORR3D_TAIL=1 to re-test after an upgrade.
     """
     import os
 

@@ -37,8 +37,8 @@ _FOLD = 8  # sublane folding factor (full vreg sublane utilisation)
 def fps_gather_enabled() -> bool:
     """Trace-time switch for the dynamic-gather coordinate read in the FPS
     kernel (~10 fewer VPU ops per serial step; the loop is step-latency
-    bound). Default OFF until `tpu.dynamic_gather` is validated on real
-    hardware; export CAMLIFLOW_FPS_GATHER=1 to opt in."""
+    bound). Hardware verdict 2026-08-19 (tools/probe_gather_matrix.py): this toolchain's Mosaic backend rejects EVERY dim-0 tpu.dynamic_gather (any dtype, any shape), so this kernel cannot compile on the current chip stack; the flag stays "0" until a toolchain upgrade (PERF.md round-4 gather-probe verdict).
+    Export CAMLIFLOW_FPS_GATHER=1 to re-test after an upgrade."""
     return os.environ.get("CAMLIFLOW_FPS_GATHER", "0") != "0"
 
 

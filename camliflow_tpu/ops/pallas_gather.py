@@ -38,9 +38,8 @@ _VMEM_BUDGET = 96 * 1024 * 1024
 def pallas_gather_enabled() -> bool:
     """Trace-time switch for the Pallas KNN gather.
 
-    Default OFF until the `tpu.dynamic_gather` lowering is validated on real
-    hardware (same protocol as CAMLIFLOW_UPDATE3D); export
-    CAMLIFLOW_PGATHER=1 to opt in.
+    Hardware verdict 2026-08-19 (tools/probe_gather_matrix.py): this toolchain's Mosaic backend rejects EVERY dim-0 tpu.dynamic_gather (any dtype, any shape), so this kernel cannot compile on the current chip stack; the flag stays "0" until a toolchain upgrade (PERF.md round-4 gather-probe verdict).
+    Export CAMLIFLOW_PGATHER=1 to re-test after an upgrade.
     """
     return os.environ.get("CAMLIFLOW_PGATHER", "0") != "0"
 
