@@ -302,17 +302,25 @@ def gru_flowhead_2d_pallas(
 
 def _motion_encoder_body(
     flow,
-    flow_patch,
+    ff1,
     corr,
     wc1_ref, bc1_ref, wc2_ref, bc2_ref,
-    wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+    wf2_ref, bf2_ref,
     wm_ref, bm_ref,
     *,
     width: int,
     masks: dict,
 ):
     """Motion-encoder conv chain on VMEM values; returns the [HW, 126]
-    merge-conv output (the flow concat is the caller's concern)."""
+    merge-conv output (the flow concat is the caller's concern).
+
+    `ff1` is conv_f1's [HW, 96] output, computed OUTSIDE the kernel as one
+    XLA 7x7 conv (`_conv_f1`). History: round 3 ran conv_f1 in-kernel on an
+    XLA-im2col'd [HW, 98] patch tensor, but the im2col itself (pad + 49
+    static slices + concat) cost ~0.44 ms/iter on the compute line — more
+    than both fused kernels combined (device trace 2026-08-19). 49 per-tap
+    K=2 in-kernel dots are no better (a full MXU pass each); XLA's native
+    conv is the cheap formulation for a 7x7 on 2 input channels."""
 
     def relu_bf16(x):
         return jnp.maximum(x, 0.0).astype(_BF16)
@@ -322,12 +330,8 @@ def _motion_encoder_body(
     taps3 = _taps(3, 3)
     cf = relu_bf16(_conv_from_shifted(_shifted(cf, taps3, width, masks), wc2_ref, bc2_ref))
 
-    # flow branch: 7x7 then 3x3. The 7x7 runs on an XLA-im2col'd patch
-    # tensor ([HW, 49*2], tap-major) as ONE [HW, 98] x [98, 96] MXU dot —
-    # 49 per-tap dots at K=2 each cost a full MXU pass regardless of K, so
-    # tap-stacking is ~49x fewer passes for the same math.
-    ff = relu_bf16(_conv_from_shifted([flow_patch], wf1_ref, bf1_ref))
-    ff = relu_bf16(_conv_from_shifted(_shifted(ff, taps3, width, masks), wf2_ref, bf2_ref))
+    # flow branch: conv_f1 arrives precomputed; 3x3 conv_f2 here
+    ff = relu_bf16(_conv_from_shifted(_shifted(ff1, taps3, width, masks), wf2_ref, bf2_ref))
 
     # merge conv over concat(cf, ff) — virtual concat via weight slices
     ccf = cf.shape[1]
@@ -340,10 +344,10 @@ def _motion_encoder_body(
 
 def _motion_encoder_kernel(
     flow_ref,
-    flow_patch_ref,
+    ff1_ref,
     corr_ref,
     wc1_ref, bc1_ref, wc2_ref, bc2_ref,
-    wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+    wf2_ref, bf2_ref,
     wm_ref, bm_ref,
     out_ref,
     *,
@@ -352,10 +356,10 @@ def _motion_encoder_kernel(
     flow = flow_ref[0]  # [HW, 2] f32
     out = _motion_encoder_body(
         flow,
-        flow_patch_ref[0].astype(_BF16),
+        ff1_ref[0],
         corr_ref[0].astype(_BF16),
         wc1_ref, bc1_ref, wc2_ref, bc2_ref,
-        wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+        wf2_ref, bf2_ref,
         wm_ref, bm_ref,
         width=width,
         masks={},
@@ -366,12 +370,12 @@ def _motion_encoder_kernel(
 
 def _update2d_kernel(
     flow_ref,
-    flow_patch_ref,
+    ff1_ref,
     corr_ref,
     h_ref,
     x2d_ref,
     wc1_ref, bc1_ref, wc2_ref, bc2_ref,
-    wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+    wf2_ref, bf2_ref,
     wm_ref, bm_ref,
     wz1_ref, bz1_ref, wr1_ref, br1_ref, wq1_ref, bq1_ref,
     wz2_ref, bz2_ref, wr2_ref, br2_ref, wq2_ref, bq2_ref,
@@ -390,10 +394,10 @@ def _update2d_kernel(
     flow = flow_ref[0]  # [HW, 2] f32
     out = _motion_encoder_body(
         flow,
-        flow_patch_ref[0].astype(_BF16),
+        ff1_ref[0],
         corr_ref[0].astype(_BF16),
         wc1_ref, bc1_ref, wc2_ref, bc2_ref,
-        wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+        wf2_ref, bf2_ref,
         wm_ref, bm_ref,
         width=width,
         masks=masks,
@@ -424,18 +428,31 @@ def _update2d_kernel(
 def prepare_motion_encoder_params(params):
     """bf16 kernel operands from the `MotionEncoder2D` param tree.
 
-    conv_f1's 7x7x2 kernel is flattened tap-major to [1, 98, 96] for the
-    single im2col dot (see `_motion_encoder_kernel`)."""
+    conv_f1 stays in HWIO layout — it runs as one XLA conv in the wrapper
+    (`_conv_f1`), not inside the kernel (see `_motion_encoder_body`)."""
     out = []
     for name in ("conv_c1", "conv_c2", "conv_f1", "conv_f2", "conv"):
         p = params[name]
         if name == "conv_f1":
-            kh, kw, cin, cout = p["kernel"].shape
-            w = p["kernel"].reshape(1, kh * kw * cin, cout).astype(_BF16)
+            w = p["kernel"].astype(_BF16)  # [7, 7, 2, cout] HWIO
         else:
             w = _w3(p["kernel"])
         out += [w, p["bias"].astype(_F32)]
     return tuple(out)
+
+
+def _conv_f1(flow, wf1, bf1):
+    """conv_f1 (7x7 SAME, bias, relu) as one XLA conv, bf16 MXU with f32
+    accumulation — the same rounding class as the in-kernel dots."""
+    out = jax.lax.conv_general_dilated(
+        flow.astype(_BF16),
+        wf1,
+        window_strides=(1, 1),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=_F32,
+    )
+    return jnp.maximum(out + bf1[None, None, None, :], 0.0).astype(_BF16)
 
 
 @functools.partial(
@@ -459,11 +476,10 @@ def motion_encoder_2d_pallas(
     hw = height * width
     cout = params[-2].shape[-1] + flow.shape[-1]
 
-    # XLA-side im2col of the 7x7 flow window (tap-major, matching the
-    # [1, 98, 96] conv_f1 weight flatten): one pad + 49 static slices fuse
-    # into a single cheap write, and the kernel's 49 K=2 micro-dots become
-    # one K=98 MXU dot.
-    flow_patch = _im2col_flow(flow, height, width)
+    # conv_f1 runs as one XLA conv; the kernel's flow branch starts at
+    # conv_f2 (see _motion_encoder_body for why not im2col or in-kernel)
+    ff1 = _conv_f1(flow, params[4], params[5])
+    kparams = params[:4] + params[6:]
 
     def flat(x):
         return x.reshape(batch, hw, x.shape[-1])
@@ -472,11 +488,11 @@ def motion_encoder_2d_pallas(
         pl.BlockSpec(
             (1, hw, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         )
-        for c in (flow.shape[-1], flow_patch.shape[-1], corr.shape[-1])
+        for c in (flow.shape[-1], ff1.shape[-1], corr.shape[-1])
     ]
     w_specs = [
         pl.BlockSpec(p.shape, lambda b, n=p.ndim: (0,) * n, memory_space=pltpu.VMEM)
-        for p in params
+        for p in kparams
     ]
     out = pl.pallas_call(
         functools.partial(_motion_encoder_kernel, width=width),
@@ -490,21 +506,8 @@ def motion_encoder_2d_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(flat(flow.astype(_F32)), flat(flow_patch), flat(corr), *params)
+    )(flat(flow.astype(_F32)), flat(ff1), flat(corr), *kparams)
     return out.reshape(batch, height, width, cout)
-
-
-def _im2col_flow(flow, height, width):
-    """7x7 tap-major im2col of the flow map (see `_motion_encoder_body`)."""
-    fp = jnp.pad(flow.astype(_F32), ((0, 0), (3, 3), (3, 3), (0, 0)))
-    return jnp.concatenate(
-        [
-            fp[:, dy : dy + height, dx : dx + width, :]
-            for dy in range(7)
-            for dx in range(7)
-        ],
-        axis=-1,
-    )
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
@@ -530,15 +533,15 @@ def update_2d_pallas(
     batch = flow.shape[0]
     hw = height * width
     ch = h.shape[-1]
-    flow_patch = _im2col_flow(flow, height, width)
-    params = tuple(me_params) + tuple(gf_params)
+    ff1 = _conv_f1(flow, me_params[4], me_params[5])
+    params = tuple(me_params[:4]) + tuple(me_params[6:]) + tuple(gf_params)
 
     def flat(x):
         return x.reshape(batch, hw, x.shape[-1])
 
     data = [
         flat(flow.astype(_F32)),
-        flat(flow_patch),
+        flat(ff1),
         flat(corr),
         flat(h),
         flat(x2d),
