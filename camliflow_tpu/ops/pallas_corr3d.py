@@ -38,7 +38,32 @@ from .geometry import _on_tpu
 # 256-query tiles: halves the per-tile fori_loop overhead vs 128. The
 # round-2 OOM at 256 (16.04 MB scoped vmem) was with in-kernel payload
 # extraction; the selection-only kernel fits comfortably.
+# CAMLIFLOW_CORR3D_TILE overrides for A/B runs (the kernel is serial-step
+# bound, so fewer/wider tiles shift the step-count/VMEM trade).
 _TILE_N = 256
+
+
+def _tile_n() -> int:
+    import os
+
+    return int(os.environ.get("CAMLIFLOW_CORR3D_TILE", str(_TILE_N)))
+
+
+def _serial_loop(n_steps: int, body, state):
+    """fori_loop or a Python unroll (CAMLIFLOW_CORR3D_UNROLL=1).
+
+    fori_loop(unroll=...) does not lower inside Pallas on this toolchain
+    (MLIR closed_call KeyError), but a trace-time Python unroll produces
+    straight-line Mosaic with no loop-carry overhead — the A/B knob for the
+    step-overhead hypothesis (PERF.md: chunking halved the scan work per
+    step yet ms/call stayed flat)."""
+    import os
+
+    if os.environ.get("CAMLIFLOW_CORR3D_UNROLL", "0") != "0":
+        for j in range(n_steps):
+            state = body(j, state)
+        return state
+    return jax.lax.fori_loop(0, n_steps, body, state)
 
 
 def _corr3d_knn_kernel(
@@ -152,10 +177,8 @@ def _corr3d_knn_kernel(
             return d_sel, i_sel, c_sel
 
         n_steps = min(k, width)
-        # NB fori_loop(unroll=...) does not lower inside Pallas (MLIR
-        # closed_call KeyError); loops stay rolled
-        d_sel, i_sel, c_sel = jax.lax.fori_loop(
-            0, n_steps, body, (d_sel, i_sel, c_sel)
+        d_sel, i_sel, c_sel = _serial_loop(
+            n_steps, body, (d_sel, i_sel, c_sel)
         )
         chunk_d.append(d_sel)
         chunk_i.append(i_sel)
@@ -194,7 +217,7 @@ def _corr3d_knn_kernel(
                     jnp.where(mask, jnp.asarray(jnp.inf, d.dtype), d),
                 )
 
-            jax.lax.fori_loop(0, k, merge, (cand_d,))
+            _serial_loop(k, merge, (cand_d,))
         idx_out_ref[0, :, l * k : (l + 1) * k] = acc_ref[...]
         cost_out_ref[0, :, l * k : (l + 1) * k] = cost_acc_ref[...].astype(
             jnp.float32
@@ -241,11 +264,12 @@ def correlation3d_knn_pallas(
     assert m_total == sum(level_sizes), (m_total, level_sizes)
     n_levels = len(level_sizes)
 
-    pad_n = (-n_queries) % _TILE_N
+    tile_n = _tile_n()
+    pad_n = (-n_queries) % tile_n
     xyz1_p = jnp.pad(xyz1, ((0, 0), (0, pad_n), (0, 0)))
     pyr_p = jnp.pad(pyramid_cat, ((0, 0), (0, pad_n), (0, 0)))
     total_n = n_queries + pad_n
-    n_tiles = total_n // _TILE_N
+    n_tiles = total_n // tile_n
 
     idx, cost = pl.pallas_call(
         functools.partial(
@@ -259,33 +283,33 @@ def correlation3d_knn_pallas(
         grid=(batch, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, _TILE_N, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                (1, tile_n, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, m0, 3), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _TILE_N, m_total),
+                (1, tile_n, m_total),
                 lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, _TILE_N, n_levels * k),
+                (1, tile_n, n_levels * k),
                 lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, _TILE_N, n_levels * k),
+                (1, tile_n, n_levels * k),
                 lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TILE_N, m0), compute_dtype),
-            pltpu.VMEM((_TILE_N, k), jnp.int32),
-            pltpu.VMEM((_TILE_N, k), compute_dtype),
+            pltpu.VMEM((tile_n, m0), compute_dtype),
+            pltpu.VMEM((tile_n, k), jnp.int32),
+            pltpu.VMEM((tile_n, k), compute_dtype),
         ],
         interpret=interpret,
     )(xyz1_p, xyz2_warp, pyr_p)

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""A/B the corr3d selection-kernel knobs on the real chip.
+
+The kernel is serial-step bound (PERF.md round-3: chunking halved the
+per-step scan width with zero ms/call change), so the levers are (a) wider
+query tiles = fewer kernel instances = fewer total serial steps, and (b)
+Python-unrolled extraction loops = no fori_loop carry overhead.
+
+Runs each (CAMLIFLOW_CORR3D_TILE, CAMLIFLOW_CORR3D_UNROLL) config in a
+SUBPROCESS — the knobs are read at trace time and the jit cache does not
+key on env, so one process cannot A/B them.
+
+Usage: python tools/ab_corr3d.py            # 4-config sweep
+       python tools/ab_corr3d.py child      # one config (env already set)
+"""
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def child():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from profile_components import LEVEL_SIZES_3D, N3D, rngs, time_scan
+
+    from camliflow_tpu.models.camliraft_l import Correlation3D
+    from camliflow_tpu.ops.geometry import backwarp_3d
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    xyz1 = jnp.asarray(rng.randn(1, N3D, 3).astype(np.float32))
+    xyz2 = xyz1 + 0.05 * jnp.asarray(rng.randn(1, N3D, 3).astype(np.float32))
+    pyramid = [
+        jnp.asarray(rng.randn(1, N3D, m).astype(np.float32))
+        for m in LEVEL_SIZES_3D
+    ]
+    (flow0,) = rngs((1, N3D, 3))
+    flow0 = flow0 * 0.02
+
+    corr3 = Correlation3D(out_channels=128, k=16)
+    c3_vars = corr3.init(key, xyz1, xyz2, LEVEL_SIZES_3D, pyramid)
+    consts = {"vars": c3_vars, "xyz1": xyz1, "xyz2": xyz2, "pyr": pyramid}
+
+    def c3_step(flow, k):
+        w = backwarp_3d(k["xyz1"], k["xyz2"], flow, fast=True)
+        c = corr3.apply(
+            k["vars"], k["xyz1"], w, LEVEL_SIZES_3D, k["pyr"], fast=True
+        )
+        return flow + 1e-6 * c[..., :3]
+
+    tag = (
+        f"tile={os.environ.get('CAMLIFLOW_CORR3D_TILE', '256')} "
+        f"unroll={os.environ.get('CAMLIFLOW_CORR3D_UNROLL', '0')}"
+    )
+    time_scan(f"corr3d pallas {tag}", c3_step, flow0, consts)
+
+
+def main():
+    for tile, unroll in (("256", "0"), ("512", "0"), ("256", "1"), ("512", "1")):
+        env = dict(os.environ)
+        env["CAMLIFLOW_CORR3D_TILE"] = tile
+        env["CAMLIFLOW_CORR3D_UNROLL"] = unroll
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "child"],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        out = (r.stdout + r.stderr).strip().splitlines()
+        print(out[-1] if out else f"tile={tile} unroll={unroll}: no output",
+              flush=True)
+        if r.returncode != 0:
+            print(f"  (rc={r.returncode}) " + "\n  ".join(out[-6:]), flush=True)
+
+
+if __name__ == "__main__":
+    if sys.argv[1:2] == ["child"]:
+        child()
+    else:
+        main()

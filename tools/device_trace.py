@@ -9,6 +9,7 @@ prints the top-K ops by total self time plus a while-loop / outside split.
 Usage:
   python tools/device_trace.py [camliraft|camliraft_l|raft] [n_frames] [top_k]
   python tools/device_trace.py gaps [model] [n_frames] [top_k]
+  python tools/device_trace.py train [model] [n_steps] [top_k]  # fwd+bwd+opt
 
 `gaps` mode reconstructs the per-line timeline INSIDE the while-loop window
 and prints the largest stalls on the busiest (compute) line together with
@@ -44,17 +45,50 @@ def collect_events(model_name, n_frames):
     sync(forward(variables, inputs), out_key)  # compile + warm
     sync(forward(variables, inputs), out_key)
 
+    def run():
+        return forward(variables, inputs)
+
+    return _collect_traced(run, lambda out: sync(out, out_key), n_frames)
+
+
+def collect_events_train(model_name, n_steps):
+    """Trace n_steps TRAINING steps (fwd+bwd+adamw at the PERF.md protocol:
+    bs=2, 640x384, n_iters_train=10) — same return contract as
+    `collect_events`. State is threaded through the traced steps, so the
+    trace covers the donation-free steady state."""
+    from measure_model import build_train
+
+    train_step, state, batch, _ = build_train(model_name)
+    box = [state]
+
+    def run():
+        new_state, loss, _, _ = train_step(box[0], batch)
+        box[0] = new_state
+        return loss
+
+    float(run())  # compile + warm
+    float(run())
+    return _collect_traced(run, float, n_steps)
+
+
+def _collect_traced(run, sync_fn, n_frames):
     trace_dir = "/tmp/device_trace"
     import shutil
 
     shutil.rmtree(trace_dir, ignore_errors=True)
     with jax.profiler.trace(trace_dir):
         for _ in range(n_frames):
-            out = forward(variables, inputs)
-        sync(out, out_key)
+            out = run()
+        sync_fn(out)
 
     paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
-    assert paths, f"no xplane.pb under {trace_dir}"
+    if not paths:
+        # Large traces (e.g. the fwd+bwd train step) come back WITHOUT an
+        # xplane.pb on this platform — only the Chrome-format
+        # vm.trace.json.gz is written. Same events, different container.
+        jpaths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+        assert jpaths, f"neither xplane.pb nor trace.json.gz under {trace_dir}"
+        return _parse_chrome_trace(sorted(jpaths)[-1])
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     space = xplane_pb2.XSpace()
@@ -78,6 +112,52 @@ def collect_events(model_name, n_frames):
                 line_events[line.name or f"line{line.id}"].append(
                     (name, ev.offset_ps, ev.duration_ps)
                 )
+    return events, line_events, module_ms
+
+
+def _parse_chrome_trace(path):
+    """(events, line_events, module_ms) from a vm.trace.json.gz.
+
+    Device events ride the process named '/device:TPU:*'; thread names map
+    to the xplane line names ('XLA Ops' = sync compute, 'XLA Modules' =
+    whole-module spans). Times are us in the JSON — converted to ps to keep
+    the xplane contract.
+    """
+    import gzip
+    import json
+
+    with gzip.open(path) as f:
+        data = json.load(f)
+    raw = data["traceEvents"]
+    device_pids = set()
+    tid_names = {}
+    for e in raw:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name" and "/device:" in e["args"].get(
+            "name", ""
+        ):
+            device_pids.add(e["pid"])
+        elif e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"]["name"]
+
+    events = []
+    line_events = defaultdict(list)
+    module_ms = 0.0
+    for e in raw:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e["name"]
+        start_ps = e["ts"] * 1e6
+        dur_ps = e["dur"] * 1e6
+        line = tid_names.get((e["pid"], e["tid"]), f"tid{e['tid']}")
+        if line == "XLA Modules" or name.startswith("jit_"):
+            module_ms += dur_ps / 1e9
+            continue
+        if line == "Steps":
+            continue
+        events.append((name, start_ps, dur_ps))
+        line_events[line].append((name, start_ps, dur_ps))
     return events, line_events, module_ms
 
 
@@ -182,11 +262,16 @@ def cmd_gaps(model_name="camliraft", n_frames=2, top_k=30):
 
 
 def main():
-    model_name = sys.argv[1] if len(sys.argv) > 1 else "camliraft"
-    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    top_k = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    argv = sys.argv[1:]
+    train = argv[:1] == ["train"]
+    if train:
+        argv = argv[1:]
+    model_name = argv[0] if argv else "camliraft"
+    n_frames = int(argv[1]) if len(argv) > 1 else 3
+    top_k = int(argv[2]) if len(argv) > 2 else 40
 
-    events, _, module_ms = collect_events(model_name, n_frames)
+    collect = collect_events_train if train else collect_events
+    events, _, module_ms = collect(model_name, n_frames)
     if not events:
         print("no device events found; planes:",
               [p.name for p in space.planes])

@@ -101,10 +101,11 @@ def cmd_numerics(models=("camliraft",)):
             )
 
 
-def cmd_train(model_name="camliraft", n_steps=5):
-    """Device-synced training-step timing (fwd+bwd+adamw), PERF.md protocol:
-    640x384 images, bs=2, n_iters_train=10. MEASURE_COMPUTE_DTYPE=bfloat16
-    gives the AMP A/B."""
+def build_train(model_name="camliraft"):
+    """Training-step closure at the PERF.md protocol (640x384, bs=2,
+    n_iters_train=10): returns (train_step, state, batch). Shared by
+    cmd_train and tools/device_trace.py's train mode.
+    MEASURE_COMPUTE_DTYPE / MEASURE_TRAIN_SHAPE env overrides apply."""
     import os
 
     from camliflow_tpu.models import camliraft as flagship
@@ -160,6 +161,15 @@ def cmd_train(model_name="camliraft", n_steps=5):
         step=jnp.zeros((), jnp.int32),
     )
     train_step = make_train_step(model, flagship.loss_fn, tx, cfgs, donate=False)
+    return train_step, state, batch, cfgs
+
+
+def cmd_train(model_name="camliraft", n_steps=5):
+    """Device-synced training-step timing (fwd+bwd+adamw), PERF.md protocol:
+    640x384 images, bs=2, n_iters_train=10. MEASURE_COMPUTE_DTYPE=bfloat16
+    gives the AMP A/B."""
+    train_step, state, batch, cfgs = build_train(model_name)
+    b, w, h = batch["images"].shape[0], batch["images"].shape[2], batch["images"].shape[1]
 
     t0 = time.perf_counter()
     state, loss, _, _ = train_step(state, batch)
