@@ -180,12 +180,32 @@ class Correlation3D(nn.Module):
                 )
         else:
             from ..ops.geometry import knn_from_dists, squared_distance
+            from ..ops.pallas_corr3d import corr3d_train_select_enabled
 
-            dists = squared_distance(xyz1, xyz2_warp_full)  # [B, N, M0]
-            idx_cat = jnp.concatenate(
-                [knn_from_dists(dists[:, :, :m_l], k=self.k) for m_l in level_sizes],
-                axis=-1,
-            )
+            if corr3d_train_select_enabled() and not self.is_initializing():
+                # TRAINING-path selection through the (forward-only) Pallas
+                # kernel: k-NN indices are integers — piecewise constant in
+                # every differentiated input — so swapping the XLA top_k for
+                # the bit-compatible kernel changes NO gradient. All inputs
+                # enter under stop_gradient (a primitive with zero input
+                # tangents needs no JVP rule), and the differentiable cost
+                # gather below re-reads `pyramid` so its VJP (scatter) is
+                # untouched. Replaces the dense [B,N,M0] distance matrix +
+                # 4 hierarchical top_k sorts per iteration; the kernel's
+                # in-kernel cost extraction output is discarded.
+                from ..ops.pallas_corr3d import correlation3d_knn_pallas
+
+                sg = jax.lax.stop_gradient
+                idx_cat, _ = correlation3d_knn_pallas(
+                    sg(xyz1), sg(xyz2_warp_full), sg(pyramid),
+                    tuple(level_sizes), k=self.k,
+                )
+            else:
+                dists = squared_distance(xyz1, xyz2_warp_full)  # [B, N, M0]
+                idx_cat = jnp.concatenate(
+                    [knn_from_dists(dists[:, :, :m_l], k=self.k) for m_l in level_sizes],
+                    axis=-1,
+                )
             offsets = np.repeat(
                 np.cumsum([0] + list(level_sizes[:-1])), self.k
             ).astype(np.int32)

@@ -336,6 +336,21 @@ def corr3d_approx_enabled() -> bool:
     return os.environ.get("CAMLIFLOW_CORR3D_APPROX", "0") != "0"
 
 
+def corr3d_train_select_enabled() -> bool:
+    """Trace-time switch: route the TRAINING-path Correlation3D k-NN
+    selection through the Pallas kernel (indices only; the differentiable
+    cost/xyz gathers stay XLA, so gradients are bit-unchanged — see
+    camliraft_l.py::Correlation3D). Default OFF until the train-step
+    compile + loss parity is hardware-validated (CLAUDE.md hard rule);
+    known risk: with an f32 [B,N,3840] pyramid loop-const XLA's scoped-vmem
+    promotion of the kernel operand can OOM at the 16M limit
+    (observed 2026-08-19 in the ab_corr3d f32 harness).
+    Export CAMLIFLOW_CORR3D_TRAIN_SELECT=1 to enable."""
+    import os
+
+    return os.environ.get("CAMLIFLOW_CORR3D_TRAIN_SELECT", "0") != "0"
+
+
 def corr3d_tail_enabled() -> bool:
     """Trace-time switch for the fused Correlation3D tail kernel.
 

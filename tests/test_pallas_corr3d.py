@@ -149,6 +149,36 @@ def test_module_fast_path_matches(rng):
     )
 
 
+def test_train_select_flag_grad_parity(rng, monkeypatch):
+    """CAMLIFLOW_CORR3D_TRAIN_SELECT=1 routes the TRAINING-path selection
+    through the Pallas kernel without changing forward values or gradients:
+    the k-NN indices are bit-compatible with the XLA top_k path (no exact
+    ties in random data) and enter the graph under stop_gradient, so every
+    downstream gather/VJP sees identical integers."""
+    xyz1, xyz2, level_sizes, pyramid = _make_case(rng)
+    module = Correlation3D(out_channels=64, k=8)
+    variables = module.init(
+        jax.random.PRNGKey(0), xyz1, xyz2, level_sizes, pyramid
+    )
+    cv = jnp.concatenate(pyramid, axis=-1)
+
+    def loss_fn(params, pyr, x1):
+        out = module.apply(params, x1, xyz2, level_sizes, pyr, train=False)
+        return jnp.sum(out * out)
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2))
+    monkeypatch.delenv("CAMLIFLOW_CORR3D_TRAIN_SELECT", raising=False)
+    base = loss_fn(variables, cv, xyz1)
+    g_base = grad_fn(variables, cv, xyz1)
+    monkeypatch.setenv("CAMLIFLOW_CORR3D_TRAIN_SELECT", "1")
+    flagged = loss_fn(variables, cv, xyz1)
+    g_flag = grad_fn(variables, cv, xyz1)
+
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(flagged))
+    for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_flag)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_padding_and_odd_sizes(rng):
     """Query counts that don't divide the tile size still round-trip."""
     xyz1 = jnp.asarray(rng.randn(1, 77, 3).astype(np.float32))

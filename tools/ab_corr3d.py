@@ -48,12 +48,23 @@ def child():
 
     corr3 = Correlation3D(out_channels=128, k=16)
     c3_vars = corr3.init(key, xyz1, xyz2, LEVEL_SIZES_3D, pyramid)
-    consts = {"vars": c3_vars, "xyz1": xyz1, "xyz2": xyz2, "pyr": pyramid}
+    # match the in-model fast path: int8 pyramid + per-row scales
+    # (camliraft_l.py quantize_rows_int8 consts) — the f32 variant sits at
+    # 31.5M and XLA's scoped-vmem promotion of the loop-const operand then
+    # OOMs nondeterministically at the 16M limit
+    from camliflow_tpu.ops.geometry import quantize_rows_int8
+
+    pyr_q, pyr_scale = quantize_rows_int8(jnp.concatenate(pyramid, axis=-1))
+    consts = {
+        "vars": c3_vars, "xyz1": xyz1, "xyz2": xyz2,
+        "pyr": pyr_q, "scale": pyr_scale,
+    }
 
     def c3_step(flow, k):
         w = backwarp_3d(k["xyz1"], k["xyz2"], flow, fast=True)
         c = corr3.apply(
-            k["vars"], k["xyz1"], w, LEVEL_SIZES_3D, k["pyr"], fast=True
+            k["vars"], k["xyz1"], w, LEVEL_SIZES_3D, k["pyr"], fast=True,
+            pyramid_scale=k["scale"],
         )
         return flow + 1e-6 * c[..., :3]
 
