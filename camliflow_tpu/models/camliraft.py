@@ -85,6 +85,12 @@ class FusedUpdateBlock(nn.Module):
     fast_inference: bool = False
     # correlation-volume storage for the 2D lookup (pad_pyramid_for_lookup)
     lookup_storage: str = "split"
+    # loss-in-scan (training): per-iteration sequence-loss terms are computed
+    # inside the scan body and exponentially accumulated in the carry, so the
+    # [T, B, H, W, 2] / [T, B, N, 3] prediction stacks never materialise.
+    # Tuple (order2d, order3d, gamma2d, gamma3d, persp_h, persp_w, paral_h,
+    # paral_w); None = stack per-iteration predictions (reference semantics).
+    loss_cfg: tuple | None = None
 
     def setup(self):
         self.correlation_3d = Correlation3D(out_channels=128, k=16)
@@ -194,8 +200,50 @@ class FusedUpdateBlock(nn.Module):
         )
         return flow_2d_up, flow_3d_up
 
+    def _iter_losses(self, flow_2d_up, flow_3d_up, loss_c):
+        """One iteration's (unweighted) sequence-loss terms, computed inside
+        the scan body. Matches calc_sequence_loss's per-prediction math
+        (losses.py) on the wrapper-transformed predictions: the 2D target is
+        zero-PADDED (validity 0) instead of unpadding the prediction — the
+        masked mean then runs over exactly the unpadded pixels — and the 3D
+        prediction is IDS-mapped back to perspective space per iteration
+        (camliraft.py:68-83 semantics)."""
+        from .losses import _flow_error, _masked_mean, _split_target
+
+        order2d, order3d = self.loss_cfg[0], self.loss_cfg[1]
+        persp_h, persp_w, paral_h, paral_w = self.loss_cfg[4:8]
+        t2d, m2d = _split_target(loss_c["target_2d"], 2)
+        l2d = _masked_mean(
+            _flow_error(flow_2d_up.astype(jnp.float32) - t2d, order2d), m2d
+        )
+        persp = {
+            "projection_mode": "perspective",
+            "sensor_h": persp_h,
+            "sensor_w": persp_w,
+            "f": loss_c["f"],
+            "cx": loss_c["cx"],
+            "cy": loss_c["cy"],
+        }
+        paral = {
+            "projection_mode": "parallel",
+            "sensor_h": paral_h,
+            "sensor_w": paral_w,
+        }
+        pred3d = (
+            paral2persp(loss_c["pc1"] + flow_3d_up, persp, paral)
+            - loss_c["base"]
+        )
+        t3d, m3d = _split_target(loss_c["target_3d"], 3)
+        l3d = _masked_mean(
+            _flow_error(pred3d.astype(jnp.float32) - t3d, order3d), m3d
+        )
+        return l2d, l3d
+
     def __call__(self, carry, consts):
-        h_2d, h_3d, flow_2d, flow_3d = carry
+        if self.loss_cfg is not None:
+            h_2d, h_3d, flow_2d, flow_3d, accs, _ = carry
+        else:
+            h_2d, h_3d, flow_2d, flow_3d = carry
         xyz1 = consts["xyz1"]
         uv1 = consts["uv1"]
         knn_indices = consts["knn_indices"]
@@ -337,6 +385,17 @@ class FusedUpdateBlock(nn.Module):
             out = self.upsample(h_2d, flow_2d, flow_3d, consts)
         else:
             out = (flow_2d, flow_3d)
+        if self.loss_cfg is not None:
+            # exponential sequence weighting via the recurrence
+            # acc_T = sum_i gamma^(T-1-i) * L_i  <=>  acc = acc*gamma + L_i
+            # (calc_sequence_loss's weights without needing the iteration
+            # index in the body)
+            l2d, l3d = self._iter_losses(out[0], out[1], consts["loss"])
+            g2d, g3d = self.loss_cfg[2], self.loss_cfg[3]
+            accs = (accs[0] * g2d + l2d, accs[1] * g3d + l3d)
+            # the final iteration's upsampled flows exit via the carry (for
+            # metrics); nothing is stacked across iterations
+            return (h_2d, h_3d, flow_2d, flow_3d, accs, out), ()
         return (h_2d, h_3d, flow_2d, flow_3d), out
 
 
@@ -363,9 +422,23 @@ class CamLiRAFTCore(nn.Module):
     # a stage — "encode" (pyramids + encoders + fusion) or "volumes" (+ cost
     # volumes, KNN, caches, hoisted weights). Production callers leave "full".
     profile_stage: str = "full"
+    # training loss-in-scan: (order2d, order3d, gamma2d, gamma3d) — see
+    # FusedUpdateBlock.loss_cfg. Requires `loss_arrays` at call time.
+    loss_cfg: tuple | None = None
+    # rematerialise the scan body in the backward pass (training)
+    remat_scan: bool = False
 
     @nn.compact
-    def __call__(self, image1, image2, pc1, pc2, camera_info, train: bool = False):
+    def __call__(
+        self,
+        image1,
+        image2,
+        pc1,
+        pc2,
+        camera_info,
+        train: bool = False,
+        loss_arrays: dict | None = None,
+    ):
         xyzs1, xyzs2, _, _ = build_pc_pyramid(pc1, pc2, list(self.n_samples_list))
 
         batch = image1.shape[0]
@@ -497,6 +570,7 @@ class CamLiRAFTCore(nn.Module):
         batch, image_h, image_w, _ = image1.shape
         grid = mesh_grid(batch, image_h // 8, image_w // 8)
 
+        loss_mode = self.loss_cfg is not None and loss_arrays is not None
         update = FusedUpdateBlock(
             fuse_corr=self.fuse_corr,
             fuse_motion=self.fuse_motion,
@@ -504,6 +578,17 @@ class CamLiRAFTCore(nn.Module):
             upsample_each=not self.final_only,
             fast_inference=fast,
             lookup_storage=storage,
+            loss_cfg=(
+                tuple(self.loss_cfg)
+                + (
+                    image_h,
+                    image_w,
+                    camera_info["sensor_h"],
+                    camera_info["sensor_w"],
+                )
+                if loss_mode
+                else None
+            ),
             name="update",
         )
         consts = {
@@ -581,8 +666,19 @@ class CamLiRAFTCore(nn.Module):
             for leaf in jax.tree_util.tree_leaves((consts, up_consts)):
                 total = total + leaf.astype(jnp.float32).sum()
             return total, h_3d.sum()
+        # remat_scan (training): recompute the update block in the backward
+        # pass instead of storing every iteration's intermediates — trades
+        # recompute FLOPs (cheap, MXU) for activation HBM traffic. Gradients
+        # are unchanged (pure recomputation).
+        body = lambda mdl, carry, c: mdl(carry, c)  # noqa: E731
+        if self.remat_scan:
+            body = nn.remat(
+                body,
+                prevent_cse=False,
+                static_argnums=(),
+            )
         scan = nn.scan(
-            lambda mdl, carry, c: mdl(carry, c),
+            body,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=nn.broadcast,
@@ -591,6 +687,17 @@ class CamLiRAFTCore(nn.Module):
             unroll=self.scan_unroll,
         )
         carry0 = (h_2d, h_3d, jnp.zeros_like(grid), jnp.zeros_like(xyz1, jnp.float32))
+        if loss_mode:
+            consts["loss"] = dict(loss_arrays, pc1=pc1)
+            zero = jnp.zeros((), jnp.float32)
+            up0 = (
+                jnp.zeros((batch, image_h, image_w, 2), jnp.float32),
+                jnp.zeros_like(pc1, jnp.float32),
+            )
+            carry0 = carry0 + ((zero, zero), up0)
+            carry, _ = scan(update, carry0, consts)
+            _, _, _, _, (loss_2d, loss_3d), (flow_2d_up, flow_3d_up) = carry
+            return flow_2d_up, flow_3d_up, loss_2d, loss_3d
         carry, (flow_2d_seq, flow_3d_seq) = scan(update, carry0, consts)
         if self.profile_stage == "loop":
             h_2d_f, _, flow_2d_f, flow_3d_f = carry
@@ -648,8 +755,47 @@ class CamLiRAFT(nn.Module):
             train = False
         from ..nn.layers import compute_precision
 
+        # loss-in-scan (training): the per-iteration sequence-loss terms are
+        # computed inside the refinement scan instead of stacking T full-res
+        # prediction tensors for calc_sequence_loss — same math (see
+        # FusedUpdateBlock._iter_losses), ~zero stacked-output traffic.
+        base = paral2persp(pc1, persp_cam, paral_cam)
+        loss_in_scan = (
+            self.train_mode
+            and bool(self.cfgs.get("loss_in_scan", False))
+            and "flow_2d" in inputs
+            and "flow_3d" in inputs
+        )
+        loss_cfg = None
+        loss_arrays = None
+        if loss_in_scan:
+            l2, l3 = self.cfgs["loss2d"], self.cfgs["loss3d"]
+            loss_cfg = (
+                str(l2["order"]),
+                str(l3["order"]),
+                float(l2["gamma"]),
+                float(l3["gamma"]),
+            )
+            t2d = inputs["flow_2d"].astype(jnp.float32)
+            if t2d.shape[-1] == 2:
+                t2d = jnp.concatenate(
+                    [t2d, jnp.ones(t2d.shape[:-1] + (1,), jnp.float32)], -1
+                )
+            left, right, top, bottom = padder._pad
+            # zero padding zeroes the validity channel, so the masked mean
+            # runs over exactly the unpadded pixels == unpad(pred) vs target
+            t2d = jnp.pad(t2d, ((0, 0), (top, bottom), (left, right), (0, 0)))
+            loss_arrays = {
+                "target_2d": t2d,
+                "target_3d": inputs["flow_3d"].astype(jnp.float32),
+                "base": base,
+                "f": intrinsics[:, 0],
+                "cx": intrinsics[:, 1],
+                "cy": intrinsics[:, 2],
+            }
+
         with compute_precision(self.cfgs.get("compute_dtype")):
-            flow_2d_seq, flow_3d_seq = CamLiRAFTCore(
+            core_out = CamLiRAFTCore(
                 n_iters=n_iters,
                 scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
                 backbone_depth=self.cfgs["backbone"]["depth"],
@@ -662,16 +808,29 @@ class CamLiRAFT(nn.Module):
                 final_only=not self.train_mode,
                 fast_inference=str(self.cfgs.get("fast_inference", "auto")),
                 lookup_storage=str(self.cfgs.get("lookup_storage", "auto")),
+                loss_cfg=loss_cfg,
+                remat_scan=self.train_mode
+                and bool(self.cfgs.get("remat_scan", False)),
                 name="core",
-            )(image1, image2, pc1, pc2, paral_cam, train=train)
-
-        flow_2d_seq = jax.vmap(padder.unpad)(flow_2d_seq)
-
-        base = paral2persp(pc1, persp_cam, paral_cam)
+            )(
+                image1, image2, pc1, pc2, paral_cam, train=train,
+                loss_arrays=loss_arrays,
+            )
 
         def ids_map(flow):
             return paral2persp(pc1 + flow, persp_cam, paral_cam) - base
 
+        if loss_in_scan:
+            flow_2d_up, flow_3d_up, loss_2d, loss_3d = core_out
+            return {
+                "flow_2d": padder.unpad(flow_2d_up),
+                "flow_3d": ids_map(flow_3d_up),
+                "loss_2d": loss_2d,
+                "loss_3d": loss_3d,
+            }
+        flow_2d_seq, flow_3d_seq = core_out
+
+        flow_2d_seq = jax.vmap(padder.unpad)(flow_2d_seq)
         flow_3d_seq = jax.vmap(ids_map)(flow_3d_seq)
 
         return {
@@ -686,18 +845,21 @@ def loss_fn(outputs: dict, inputs: dict, cfgs: Any):
     """Joint sequence losses + metrics (camliraft.py:85-96)."""
     target_2d = inputs["flow_2d"]
     target_3d = inputs["flow_3d"]
-    loss_2d = calc_sequence_loss(
-        outputs["flow_2d_seq"],
-        target_2d,
-        gamma=cfgs.loss2d.gamma,
-        order=cfgs.loss2d.order,
-    )
-    loss_3d = calc_sequence_loss(
-        outputs["flow_3d_seq"],
-        target_3d,
-        gamma=cfgs.loss3d.gamma,
-        order=cfgs.loss3d.order,
-    )
+    if "loss_2d" in outputs:  # loss-in-scan: accumulated inside the core
+        loss_2d, loss_3d = outputs["loss_2d"], outputs["loss_3d"]
+    else:
+        loss_2d = calc_sequence_loss(
+            outputs["flow_2d_seq"],
+            target_2d,
+            gamma=cfgs.loss2d.gamma,
+            order=cfgs.loss2d.order,
+        )
+        loss_3d = calc_sequence_loss(
+            outputs["flow_3d_seq"],
+            target_3d,
+            gamma=cfgs.loss3d.gamma,
+            order=cfgs.loss3d.order,
+        )
     loss = loss_2d + loss_3d
     metrics = merge_metrics(
         {

@@ -340,15 +340,17 @@ def corr3d_train_select_enabled() -> bool:
     """Trace-time switch: route the TRAINING-path Correlation3D k-NN
     selection through the Pallas kernel (indices only; the differentiable
     cost/xyz gathers stay XLA, so gradients are bit-unchanged — see
-    camliraft_l.py::Correlation3D). Default OFF until the train-step
-    compile + loss parity is hardware-validated (CLAUDE.md hard rule);
-    known risk: with an f32 [B,N,3840] pyramid loop-const XLA's scoped-vmem
-    promotion of the kernel operand can OOM at the 16M limit
-    (observed 2026-08-19 in the ab_corr3d f32 harness).
-    Export CAMLIFLOW_CORR3D_TRAIN_SELECT=1 to enable."""
+    camliraft_l.py::Correlation3D and the grad-parity test in
+    tests/test_pallas_corr3d.py). Default ON since 2026-08-19: hardware-
+    validated per the CLAUDE.md rule — the flagged camliraft_l train CLI
+    drive compiled + ran on-chip, and the camliraft train step measured
+    522.5 -> 496.1 ms/step (the Pallas selection replaces the dense
+    [B,N,M0] distance matrix, its ~118 MB relayout copies, and 4 top_k
+    sorts per iteration). Export CAMLIFLOW_CORR3D_TRAIN_SELECT=0 to get
+    the pure-XLA selection back."""
     import os
 
-    return os.environ.get("CAMLIFLOW_CORR3D_TRAIN_SELECT", "0") != "0"
+    return os.environ.get("CAMLIFLOW_CORR3D_TRAIN_SELECT", "1") != "0"
 
 
 def corr3d_tail_enabled() -> bool:

@@ -167,7 +167,7 @@ def test_train_select_flag_grad_parity(rng, monkeypatch):
         return jnp.sum(out * out)
 
     grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2))
-    monkeypatch.delenv("CAMLIFLOW_CORR3D_TRAIN_SELECT", raising=False)
+    monkeypatch.setenv("CAMLIFLOW_CORR3D_TRAIN_SELECT", "0")
     base = loss_fn(variables, cv, xyz1)
     g_base = grad_fn(variables, cv, xyz1)
     monkeypatch.setenv("CAMLIFLOW_CORR3D_TRAIN_SELECT", "1")

@@ -121,6 +121,10 @@ def build_train(model_name="camliraft"):
     cfgs["batch_size"] = 2
     if os.environ.get("MEASURE_COMPUTE_DTYPE"):
         cfgs["compute_dtype"] = os.environ["MEASURE_COMPUTE_DTYPE"]
+    if os.environ.get("MEASURE_LOSS_IN_SCAN"):
+        cfgs["loss_in_scan"] = os.environ["MEASURE_LOSS_IN_SCAN"] != "0"
+    if os.environ.get("MEASURE_REMAT_SCAN"):
+        cfgs["remat_scan"] = os.environ["MEASURE_REMAT_SCAN"] != "0"
     spec = model_factory(cfgs)
 
     rng = np.random.RandomState(0)
