@@ -191,14 +191,15 @@ class Correlation3D(nn.Module):
                 # tangents needs no JVP rule), and the differentiable cost
                 # gather below re-reads `pyramid` so its VJP (scatter) is
                 # untouched. Replaces the dense [B,N,M0] distance matrix +
-                # 4 hierarchical top_k sorts per iteration; the kernel's
-                # in-kernel cost extraction output is discarded.
+                # 4 hierarchical top_k sorts per iteration; with_cost=False
+                # skips the in-kernel cost extraction entirely (a Pallas
+                # body can't be DCE'd from outside).
                 from ..ops.pallas_corr3d import correlation3d_knn_pallas
 
                 sg = jax.lax.stop_gradient
                 idx_cat, _ = correlation3d_knn_pallas(
-                    sg(xyz1), sg(xyz2_warp_full), sg(pyramid),
-                    tuple(level_sizes), k=self.k,
+                    sg(xyz1), sg(xyz2_warp_full), None,
+                    tuple(level_sizes), k=self.k, with_cost=False,
                 )
             else:
                 dists = squared_distance(xyz1, xyz2_warp_full)  # [B, N, M0]

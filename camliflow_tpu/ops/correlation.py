@@ -100,10 +100,16 @@ def all_pairs_correlation_pyramid(
 
 
 def _lookup_pad(radius: int) -> int:
-    # minimal zero margin covering every clamped base coordinate:
-    # start = floor(clip(c, -(r+1), dim+r)) + pad - r must satisfy
-    # 0 <= start and start + 2r+2 <= dim + 2*pad  =>  pad >= 2r + 2
-    return 2 * radius + 2
+    # ZERO since round 4: the one-hot selection needs no zero margin at all.
+    # A window tap outside [0, dim) matches no iota column, so its one-hot
+    # row is all-zero and the selection dot yields an EXACT zero — the same
+    # value a zero pad entry produced (grid_sample zeros semantics,
+    # raft_core.py:96-107). Removing the pad shrinks the level-0 table from
+    # [w+2p, h+2p] to [w, h] (-34% of the dominant per-iteration HBM read at
+    # 960x540), deletes the pad-build writes, and is bit-exact for every
+    # storage mode (pad zeros never set a row's int8 quantisation scale).
+    # Kept as a function so the margin can be reintroduced for A/Bs.
+    return 0
 
 
 def resolve_lookup_storage(lookup_storage: str, fast: bool) -> str:
@@ -128,7 +134,9 @@ def pad_pyramid_for_lookup(
     storage dtype only quantises the stored values, never the selection.
 
     storage="split" (exact, default / training): each level becomes
-    [rows, w+2p, 2*(h+2p)] bfloat16 (w-major, see below) with the padded map
+    [rows, w+2p, 2*(h+2p)] bfloat16 (w-major, see below; p = _lookup_pad = 0
+    since round 4 — out-of-range window taps zero out via empty one-hot
+    selection rows instead of stored pad entries) with the padded map
     split into bf16 high/low halves concatenated along the h axis:
     hi = bf16(v), lo = bf16(v - hi). The in-loop selection matmuls then run as
     single-pass bf16 MXU ops, and re-summing hi+lo reconstructs v to ~2^-18
@@ -285,7 +293,10 @@ def corr_lookup_2d_padded(
     Args:
       padded_pyramid: output of `pad_pyramid_for_lookup` with the same
         `storage` mode (w-major, [rows, w+2p, halves*(h+2p)] per level with
-        p = 2*radius + 2; int8 levels are ([rows, w+2p, h+2p] int8, [rows]
+        p = _lookup_pad(radius) (0 since round 4 — window taps outside
+        [0, dim) match no one-hot column and contribute exact zeros, the
+        same value stored pad entries produced);
+        int8 levels are ([rows, w+2p, h+2p] int8, [rows]
         scale) pairs).
       coords: [B, H, W, 2] target pixel coordinates in frame 2 (grid + flow).
       radius: window radius r; each level contributes (2r+1)^2 channels.
@@ -401,6 +412,23 @@ def corr_lookup_2d_padded(
         # channel k = i*span + j with i the x-offset (reference quirk);
         # stage 2 already emits x-major so no transpose (a materialised
         # [8160,10,10] relayout per level per iteration) is needed
+        if storage != "split" and corr_bf16_out_enabled():
+            # fast-path bf16 output: the eval while-body HLO shows the
+            # lookup output passing through 4 layout forms per level per
+            # iteration (~43 MB/iter of relayout copies at 960x540) — a
+            # bf16 feature map halves that churn and the downstream
+            # CLFM/motion-encoder reads. ~2^-9 relative rounding on top of
+            # the int8 quantisation envelope (numerics-gated).
+            blended = blended.astype(jnp.bfloat16)
         sampled = blended.reshape(rows, span * span)
         out_pyramid.append(sampled.reshape(batch, height, width, span * span))
     return jnp.concatenate(out_pyramid, axis=-1)
+
+
+def corr_bf16_out_enabled() -> bool:
+    """Trace-time switch for bf16 fast-path lookup output (default OFF until
+    the on-chip numerics gate + timing A/B pass, CLAUDE.md hard rule).
+    Export CAMLIFLOW_CORR_BF16_OUT=1 to enable."""
+    import os
+
+    return os.environ.get("CAMLIFLOW_CORR_BF16_OUT", "0") != "0"

@@ -67,18 +67,11 @@ def _serial_loop(n_steps: int, body, state):
 
 
 def _corr3d_knn_kernel(
-    xyz1_ref,
-    xyz2_ref,
-    pyr_ref,
-    idx_out_ref,
-    cost_out_ref,
-    dist_ref,
-    acc_ref,
-    cost_acc_ref,
-    *,
+    *refs,
     level_sizes,
     k,
     compute_dtype=jnp.float32,
+    with_cost=True,
 ):
     """Chunked prefix selection.
 
@@ -92,7 +85,17 @@ def _corr3d_knn_kernel(
     total extraction work as before); merges then carry (dist, idx, cost)
     triples and preserve the ascending-distance, lowest-index-first order
     bit-exactly.
+
+    `with_cost=False` (the TRAINING-path selection, whose cost extraction
+    output would be discarded — Pallas bodies cannot be dead-code-eliminated
+    from outside): no pyramid ref is passed, all masked-reduce cost
+    extraction passes and their output writes are skipped.
     """
+    if with_cost:
+        (xyz1_ref, xyz2_ref, pyr_ref, idx_out_ref, cost_out_ref,
+         dist_ref, acc_ref, cost_acc_ref) = refs
+    else:
+        xyz1_ref, xyz2_ref, idx_out_ref, dist_ref, acc_ref = refs
     n_queries = xyz1_ref.shape[1]
     n_levels = len(level_sizes)
     q = xyz1_ref[0].astype(jnp.float32)  # [T, 3]
@@ -133,7 +136,7 @@ def _corr3d_knn_kernel(
         pyrs = []
         off = 0
         for l in range(n_levels):
-            if l in levels_here:
+            if l in levels_here and with_cost:
                 # f32 or bf16 storage (fast path stores the pyramid bf16 to
                 # halve the per-iteration HBM re-read); converted once at
                 # load — selection is distance-driven either way, only the
@@ -190,12 +193,17 @@ def _corr3d_knn_kernel(
         n_chunks = n_levels - l
         cand_d = jnp.concatenate(chunk_d[:n_chunks], axis=1)
         cand_i = jnp.concatenate(chunk_i[:n_chunks], axis=1)
-        cand_c = jnp.concatenate(
-            [chunk_cost[c][l] for c in range(n_chunks)], axis=1
+        cand_c = (
+            jnp.concatenate(
+                [chunk_cost[c][l] for c in range(n_chunks)], axis=1
+            )
+            if with_cost
+            else None
         )
         if n_chunks == 1:
             acc_ref[...] = cand_i
-            cost_acc_ref[...] = cand_c
+            if with_cost:
+                cost_acc_ref[...] = cand_c
         else:
             def merge(j, state, cand_c=cand_c, cand_i=cand_i):
                 d, = state
@@ -205,37 +213,41 @@ def _corr3d_knn_kernel(
                     axis=1, keepdims=True,
                 )
                 mask = (d == dmin) & (cand_i == sel_i)
-                sel_c = jnp.sum(
-                    jnp.where(mask, cand_c, jnp.zeros_like(cand_c)),
-                    axis=1, keepdims=True,
-                )
                 acc_ref[...] = jnp.where(lane_k == j, sel_i, acc_ref[...])
-                cost_acc_ref[...] = jnp.where(
-                    lane_k == j, sel_c, cost_acc_ref[...]
-                )
+                if with_cost:
+                    sel_c = jnp.sum(
+                        jnp.where(mask, cand_c, jnp.zeros_like(cand_c)),
+                        axis=1, keepdims=True,
+                    )
+                    cost_acc_ref[...] = jnp.where(
+                        lane_k == j, sel_c, cost_acc_ref[...]
+                    )
                 return (
                     jnp.where(mask, jnp.asarray(jnp.inf, d.dtype), d),
                 )
 
             _serial_loop(k, merge, (cand_d,))
         idx_out_ref[0, :, l * k : (l + 1) * k] = acc_ref[...]
-        cost_out_ref[0, :, l * k : (l + 1) * k] = cost_acc_ref[...].astype(
-            jnp.float32
-        )
+        if with_cost:
+            cost_out_ref[0, :, l * k : (l + 1) * k] = cost_acc_ref[...].astype(
+                jnp.float32
+            )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("level_sizes", "k", "interpret", "approx")
+    jax.jit,
+    static_argnames=("level_sizes", "k", "interpret", "approx", "with_cost"),
 )
 def correlation3d_knn_pallas(
     xyz1: jax.Array,
     xyz2_warp: jax.Array,
-    pyramid_cat: jax.Array,
+    pyramid_cat: jax.Array | None,
     level_sizes: tuple[int, ...],
     k: int = 16,
     interpret: bool | None = None,
     approx: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    with_cost: bool = True,
+) -> tuple[jax.Array, jax.Array | None]:
     """Per-level prefix KNN selection + cost extraction.
 
     Args:
@@ -249,8 +261,13 @@ def correlation3d_knn_pallas(
         passes). Selection can differ from the exact path only between
         bf16-tied neighbours; int8-origin costs stay exact. Used by the
         model fast path (which already runs the int8/bf16 envelope).
+      with_cost: False skips the in-kernel cost extraction entirely — no
+        pyramid ref is read (pass pyramid_cat=None) and the masked-reduce
+        passes disappear from every selection step. Used by the training
+        path, which only needs the indices (the differentiable cost gather
+        stays XLA).
     Returns:
-      (indices [B, N, L*k] int32, costs [B, N, L*k] f32). With
+      (indices [B, N, L*k] int32, costs [B, N, L*k] f32 or None). With
       approx=False, selection semantics match the XLA path bit-exactly
       (ascending distance within a level, lowest-index tie-break); the
       rel_xyz payload is left to one XLA gather (see module docstring).
@@ -260,60 +277,62 @@ def correlation3d_knn_pallas(
     compute_dtype = jnp.bfloat16 if approx else jnp.float32
     batch, n_queries, _ = xyz1.shape
     m0 = xyz2_warp.shape[1]
-    m_total = pyramid_cat.shape[2]
-    assert m_total == sum(level_sizes), (m_total, level_sizes)
+    if with_cost:
+        m_total = pyramid_cat.shape[2]
+        assert m_total == sum(level_sizes), (m_total, level_sizes)
     n_levels = len(level_sizes)
 
     tile_n = _tile_n()
     pad_n = (-n_queries) % tile_n
     xyz1_p = jnp.pad(xyz1, ((0, 0), (0, pad_n), (0, 0)))
-    pyr_p = jnp.pad(pyramid_cat, ((0, 0), (0, pad_n), (0, 0)))
     total_n = n_queries + pad_n
     n_tiles = total_n // tile_n
 
-    idx, cost = pl.pallas_call(
+    tile_spec = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, tile_n, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        tile_spec(3),
+        pl.BlockSpec(
+            (1, m0, 3), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [xyz1_p, xyz2_warp]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, total_n, n_levels * k), jnp.int32)
+    ]
+    out_specs = [tile_spec(n_levels * k)]
+    scratch_shapes = [
+        pltpu.VMEM((tile_n, m0), compute_dtype),
+        pltpu.VMEM((tile_n, k), jnp.int32),
+    ]
+    if with_cost:
+        pyr_p = jnp.pad(pyramid_cat, ((0, 0), (0, pad_n), (0, 0)))
+        in_specs.append(tile_spec(m_total))
+        operands.append(pyr_p)
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, total_n, n_levels * k), jnp.float32)
+        )
+        out_specs.append(tile_spec(n_levels * k))
+        scratch_shapes.append(pltpu.VMEM((tile_n, k), compute_dtype))
+
+    outs = pl.pallas_call(
         functools.partial(
             _corr3d_knn_kernel, level_sizes=tuple(level_sizes), k=k,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, with_cost=with_cost,
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, total_n, n_levels * k), jnp.int32),
-            jax.ShapeDtypeStruct((batch, total_n, n_levels * k), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=(batch, n_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, tile_n, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, m0, 3), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, tile_n, m_total),
-                lambda b, i: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, tile_n, n_levels * k),
-                lambda b, i: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_n, n_levels * k),
-                lambda b, i: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tile_n, m0), compute_dtype),
-            pltpu.VMEM((tile_n, k), jnp.int32),
-            pltpu.VMEM((tile_n, k), compute_dtype),
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(xyz1_p, xyz2_warp, pyr_p)
-    return idx[:, :n_queries], cost[:, :n_queries]
+    )(*operands)
+    if with_cost:
+        idx, cost = outs
+        return idx[:, :n_queries], cost[:, :n_queries]
+    (idx,) = outs
+    return idx[:, :n_queries], None
 
 
 # ---------------------------------------------------------------------------

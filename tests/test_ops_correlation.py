@@ -168,7 +168,9 @@ def test_padded_pyramid_from_features_matches_two_step(rng, storage, hw):
         storage=storage,
     )
     assert len(got) == len(want) == 3
-    pad = 2 * 2 + 2
+    from camliflow_tpu.ops.correlation import _lookup_pad
+
+    pad = _lookup_pad(2)
     for level, (g, w) in enumerate(zip(got, want)):
         if storage == "int8":
             (gq, gs), (wq, ws) = g, w
@@ -189,11 +191,14 @@ def test_padded_pyramid_from_features_matches_two_step(rng, storage, hw):
             scale = np.abs(wv).max()
             np.testing.assert_allclose(gv, wv, atol=scale * 2.0**-8)
             padded_vals = gv
-        # pad margin must be exactly zero (zero feature columns dot to 0)
-        assert np.all(padded_vals[:, :pad, :] == 0)
-        assert np.all(padded_vals[:, -pad:, :] == 0)
-        assert np.all(padded_vals[:, :, :pad] == 0)
-        assert np.all(padded_vals[:, :, -pad:] == 0)
+        # pad margin (when any) must be exactly zero (zero feature columns
+        # dot to 0); since round 4 _lookup_pad() is 0 — out-of-range taps
+        # zero out via empty one-hot rows instead of stored pad entries
+        if pad:
+            assert np.all(padded_vals[:, :pad, :] == 0)
+            assert np.all(padded_vals[:, -pad:, :] == 0)
+            assert np.all(padded_vals[:, :, :pad] == 0)
+            assert np.all(padded_vals[:, :, -pad:] == 0)
 
 
 def test_padded_pyramid_from_features_split_is_exact(rng):

@@ -89,6 +89,7 @@ def test_camliraft_model_fused_clfm_matches_exact(rng, monkeypatch):
     monkeypatch.setenv("CAMLIFLOW_UPDATE3D", "1")
     monkeypatch.setenv("CAMLIFLOW_CORR3D_TAIL", "1")
     monkeypatch.setenv("CAMLIFLOW_PGATHER", "1")
+    monkeypatch.setenv("CAMLIFLOW_CORR_BF16_OUT", "1")
 
     from camliflow_tpu.models import camliraft as camliraft_mod
     from camliflow_tpu.utils.config import Config

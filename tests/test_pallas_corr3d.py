@@ -56,6 +56,14 @@ def test_selection_matches_xla_path(rng, k):
         rtol=1e-6,
         atol=1e-7,
     )
+    # with_cost=False (training path): identical indices, no pyramid read
+    idx_nc, cost_nc = correlation3d_knn_pallas(
+        xyz1, xyz2, None, tuple(level_sizes), k=k, interpret=True,
+        with_cost=False,
+    )
+    np.testing.assert_array_equal(np.asarray(idx_nc), got_np)
+    assert cost_nc is None
+
     # bf16 pyramid storage (fast path): selection identical — distances are
     # f32 regardless — and only the extracted costs round to bf16
     idx16, cost16 = correlation3d_knn_pallas(

@@ -108,7 +108,6 @@ def build_train(model_name="camliraft"):
     MEASURE_COMPUTE_DTYPE / MEASURE_TRAIN_SHAPE env overrides apply."""
     import os
 
-    from camliflow_tpu.models import camliraft as flagship
     from camliflow_tpu.models.factory import (
         model_factory,
         optimizer_factory,
@@ -164,7 +163,7 @@ def build_train(model_name="camliraft"):
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
     )
-    train_step = make_train_step(model, flagship.loss_fn, tx, cfgs, donate=False)
+    train_step = make_train_step(model, spec.loss_fn, tx, cfgs, donate=False)
     return train_step, state, batch, cfgs
 
 
