@@ -96,7 +96,14 @@ class DataLoader:
                 * self.local_batch
             ]
             # drop_last=False remainder batches can leave later shards empty
-            # (eval: the cross-shard metric sums make this exact anyway)
+            # (eval: the cross-shard metric sums make this exact anyway).
+            # Safe ONLY because training always runs drop_last=True — with
+            # drop_last=False, shards would iterate different batch counts
+            # and desync collective gradient steps.
+            if len(local) < self.local_batch:
+                assert not self.drop_last, (
+                    "drop_last=True must never produce a short shard batch"
+                )
             if len(local):
                 batches.append(local)
 

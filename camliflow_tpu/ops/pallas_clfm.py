@@ -1,5 +1,11 @@
 """Pallas TPU mega-kernel for the in-loop CLFM fusion calls.
 
+STATUS: STRUCTURALLY UNBUILDABLE on the current toolchain — depends on dim-0
+`tpu.dynamic_gather`, which the Mosaic backend rejects for every dtype/shape
+(tools/probe_gather_matrix.py, PERF.md round-4 gather-probe verdict). Gate
+CAMLIFLOW_CLFM stays "0"; interpret-mode tests pin semantics for a future
+Mosaic. Do not invest further here until the toolchain updates.
+
 Each refinement iteration of the fused CamLiRAFT loop runs two CLFM calls
 (corr fusion and motion fusion, reference models/camliraft_core.py:110-123
 via models/clfm.py:7-214). In XLA each call is ~15 small ops — the 3D->2D

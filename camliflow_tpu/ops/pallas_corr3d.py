@@ -40,6 +40,10 @@ from .geometry import _on_tpu
 # extraction; the selection-only kernel fits comfortably.
 # CAMLIFLOW_CORR3D_TILE overrides for A/B runs (the kernel is serial-step
 # bound, so fewer/wider tiles shift the step-count/VMEM trade).
+# NB: TILE/UNROLL are read at TRACE time inside the jit-cached
+# correlation3d_knn_pallas — the jit cache keys only on args, so changing
+# them mid-process is silently ignored. A/B them across fresh processes
+# (tools/ab_corr3d.py runs each config in a subprocess for this reason).
 _TILE_N = 256
 
 

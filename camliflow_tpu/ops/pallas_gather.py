@@ -1,5 +1,11 @@
 """Pallas TPU kernel for batched KNN feature gathers.
 
+STATUS: STRUCTURALLY UNBUILDABLE on the current toolchain — depends on dim-0
+`tpu.dynamic_gather`, which the Mosaic backend rejects for every dtype/shape
+(tools/probe_gather_matrix.py, PERF.md round-4 gather-probe verdict). Gate
+CAMLIFLOW_PGATHER stays "0"; interpret-mode tests pin semantics for a future
+Mosaic. Do not invest further here until the toolchain updates.
+
 `gather_points` (the channel-last `batch_indexing`, reference
 models/utils.py:61-104) with [B, M, k] indices is the encoders' dominant
 remaining cost: XLA lowers it to per-row HBM gathers at ~20 ns/row

@@ -1,5 +1,11 @@
 """Pallas TPU mega-kernels for the 3D refinement update chain.
 
+STATUS: STRUCTURALLY UNBUILDABLE on the current toolchain — depends on dim-0
+`tpu.dynamic_gather`, which the Mosaic backend rejects for every dtype/shape
+(tools/probe_gather_matrix.py, PERF.md round-4 gather-probe verdict). Gate
+CAMLIFLOW_UPDATE3D stays "0"; interpret-mode tests pin semantics for a
+future Mosaic. Do not invest further here until the toolchain updates.
+
 The point-branch update (reference camliraft_l_core.py:104-155 via
 models/point_conv.py:102-130) is 9 PointConvDW convs per iteration, each a
 dense MLP + KNN feature gather + weight multiply + max-over-k. In XLA every

@@ -155,6 +155,16 @@ class Evaluator:
         occ_mask_3d), and a ragged allgather would deadlock.
         """
         vec = np.array([float(m[k]) for k in keys], np.float64)
+        if self.num_shards > 1 and jax.process_count() == 1:
+            import warnings
+
+            warnings.warn(
+                "Evaluator num_shards>1 on a single process: reported "
+                "metrics are SHARD-LOCAL sums (this shard saw 1/"
+                f"{self.num_shards} of the dataset); aggregate the "
+                "accumulators across shards externally.",
+                stacklevel=2,
+            )
         if self.num_shards > 1 and jax.process_count() > 1:
             from jax.experimental import multihost_utils
 

@@ -43,6 +43,7 @@ def test_grid_sample_cache_matches_grid_sample(rng):
 
 
 @pytest.mark.parametrize("c2,c3", [(324, 128), (128, 128)])
+@pytest.mark.slow  # dead-kernel semantics pin (PERF.md gather-probe verdict)
 def test_clfm_fused_matches_flax(rng, c2, c3):
     batch, h, w, n = 2, 8, 12, 64
     clfm = CLFM(c2, c3)

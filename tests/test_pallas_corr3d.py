@@ -202,6 +202,7 @@ def test_padding_and_odd_sizes(rng):
     assert int(np.asarray(got_idx).max()) < 48
 
 
+@pytest.mark.slow  # dead-kernel semantics pin (PERF.md gather-probe verdict)
 def test_fused_tail_matches_xla_tail(rng):
     """corr3d_tail_pallas == the module's XLA tail (gather + cost MLP +
     merge), on both the plain and the int8+scale pyramid paths. Both runs

@@ -2,6 +2,7 @@
 `gather_points`, and the k-major PointConv fast routing."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -13,6 +14,7 @@ from camliflow_tpu.ops.pallas_gather import (
 )
 
 
+@pytest.mark.slow  # dead-kernel semantics pin (PERF.md gather-probe verdict)
 def test_gather_kmajor_matches_xla(rng):
     data = jnp.asarray(rng.randn(2, 200, 67).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, 200, size=(2, 96, 16)).astype(np.int32))
@@ -24,6 +26,7 @@ def test_gather_kmajor_matches_xla(rng):
     assert gather_fits_vmem(data, idx)
 
 
+@pytest.mark.slow  # dead-kernel semantics pin (PERF.md gather-probe verdict)
 def test_gather_kmajor_bf16_and_odd_shapes(rng):
     data = jnp.asarray(rng.randn(1, 77, 3).astype(np.float32)).astype(
         jnp.bfloat16
@@ -37,6 +40,7 @@ def test_gather_kmajor_bf16_and_odd_shapes(rng):
     )
 
 
+@pytest.mark.slow  # dead-kernel semantics pin (PERF.md gather-probe verdict)
 def test_pointconv_fast_matches_exact(rng, monkeypatch):
     """PointConv(fast=True) with CAMLIFLOW_PGATHER=1 == the XLA path (same
     gathered values; einsum contraction order may round differently)."""

@@ -1,6 +1,7 @@
 """Interpret-mode tests for the Pallas TPU kernels (run on CPU)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from camliflow_tpu import ops
@@ -56,6 +57,7 @@ def test_pallas_fps_matches_xla(rng):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.slow  # dead-kernel semantics pin (PERF.md gather-probe verdict)
 def test_pallas_fps_coord_gather_matches_xla(rng, monkeypatch):
     """CAMLIFLOW_FPS_GATHER=1: the dynamic-gather coordinate read is
     bit-identical to the one-hot masked-reduce variant (same distance math,

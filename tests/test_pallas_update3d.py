@@ -35,6 +35,7 @@ def _setup(rng, n=256):
     return xyz, knn
 
 
+@pytest.mark.slow  # dead-kernel semantics pin (PERF.md gather-probe verdict)
 def test_motion_encoder_3d_fused(rng):
     xyz, knn = _setup(rng)
     n = xyz.shape[1]
@@ -60,6 +61,7 @@ def test_motion_encoder_3d_fused(rng):
     )
 
 
+@pytest.mark.slow  # dead-kernel semantics pin (PERF.md gather-probe verdict)
 def test_gru_flowhead_3d_fused(rng):
     xyz, knn = _setup(rng)
     n = xyz.shape[1]
@@ -101,6 +103,7 @@ def test_gru_flowhead_3d_fused(rng):
     )
 
 
+@pytest.mark.slow  # dead-kernel semantics pin (PERF.md gather-probe verdict)
 def test_int8_dw_quantisation(rng):
     """int8 dw + scale folding reproduces the bf16-dw kernel outputs within
     the documented max|channel|/254 envelope (through both fused kernels)."""

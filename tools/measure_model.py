@@ -103,7 +103,7 @@ def cmd_numerics(models=("camliraft",)):
 
 def build_train(model_name="camliraft"):
     """Training-step closure at the PERF.md protocol (640x384, bs=2,
-    n_iters_train=10): returns (train_step, state, batch). Shared by
+    n_iters_train=10): returns (train_step, state, batch, cfgs). Shared by
     cmd_train and tools/device_trace.py's train mode.
     MEASURE_COMPUTE_DTYPE / MEASURE_TRAIN_SHAPE env overrides apply."""
     import os
