@@ -320,6 +320,15 @@ def correlation3d_knn_pallas(
         out_specs.append(tile_spec(n_levels * k))
         scratch_shapes.append(pltpu.VMEM((tile_n, k), compute_dtype))
 
+    # Wider tiles (fewer serial extraction-loop trips) blow the DEFAULT
+    # 16 MB scoped-vmem cap (512 -> 36.2M, 1024 -> 72.8M measured on v5e),
+    # not physical VMEM — raise the cap for non-default tiles only so the
+    # default path's compiled artifact is bit-unchanged.
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+        if tile_n > _TILE_N
+        else None
+    )
     outs = pl.pallas_call(
         functools.partial(
             _corr3d_knn_kernel, level_sizes=tuple(level_sizes), k=k,
@@ -330,6 +339,7 @@ def correlation3d_knn_pallas(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
     if with_cost:

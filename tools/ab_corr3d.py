@@ -76,7 +76,7 @@ def child():
 
 
 def main():
-    for tile, unroll in (("256", "0"), ("512", "0"), ("256", "1"), ("512", "1")):
+    for tile, unroll in (("256", "0"), ("512", "0"), ("1024", "0"), ("2048", "0")):
         env = dict(os.environ)
         env["CAMLIFLOW_CORR3D_TILE"] = tile
         env["CAMLIFLOW_CORR3D_UNROLL"] = unroll
@@ -85,8 +85,9 @@ def main():
             env=env, capture_output=True, text=True, timeout=1200,
         )
         out = (r.stdout + r.stderr).strip().splitlines()
-        print(out[-1] if out else f"tile={tile} unroll={unroll}: no output",
-              flush=True)
+        hits = [l for l in out if "corr3d pallas" in l]
+        print(hits[-1] if hits else
+              f"tile={tile} unroll={unroll}: no result line", flush=True)
         if r.returncode != 0:
             print(f"  (rc={r.returncode}) " + "\n  ".join(out[-6:]), flush=True)
 
