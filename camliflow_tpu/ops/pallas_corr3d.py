@@ -113,22 +113,50 @@ def _corr3d_knn_kernel(
     )
     d_full = d_full + jnp.sum(q * q, axis=-1)[:, None]
     d_full = d_full + jnp.sum(p * p, axis=-1)[None, :]
-    # approx mode stores bf16 distances: every subsequent scan/extract pass
-    # runs at half the vreg count. Selection can flip only between
-    # bf16-equal (near-tied) neighbours, and the per-level cost/payload sum
-    # is order-invariant within a level (camliraft_l.py:192), so only
-    # k-boundary swaps of near-equidistant points differ.
-    dist_ref[...] = d_full.astype(compute_dtype)
+    # approx mode packs (bf16-rounded distance, column index) into ONE s32
+    # sort key: bitcast(f32(bf16(max(d, 0)))) | col. The bf16 round zeroes
+    # the low 16 mantissa bits (so OR-ing col < 2^16 is lossless), and
+    # non-negative f32 bit patterns order like their values — a single s32
+    # min-reduction per step returns the min distance AND the lowest-index
+    # tie-break, the winner mask (keys == kmin) is unique (keys are
+    # distinct), and the separate idx-extraction min + its where() pass
+    # disappear. Selection semantics: ascending bf16 distance, lowest index
+    # first — selection can flip only between bf16-equal neighbours, and the
+    # per-level cost/payload sum is order-invariant within a level
+    # (camliraft_l.py:192), so only k-boundary swaps of near-equidistant
+    # points differ from the exact path.
+    approx16 = compute_dtype == jnp.bfloat16
+    if approx16:
+        d_rounded = jnp.maximum(d_full, 0.0).astype(jnp.bfloat16)
+        keys = jax.lax.bitcast_convert_type(
+            d_rounded.astype(jnp.float32), jnp.int32
+        ) | jax.lax.broadcasted_iota(jnp.int32, d_full.shape, 1)
+        # ... but STORE and REDUCE the keys as f32: non-negative f32 bit
+        # patterns order identically as integers and as floats, and f32
+        # min-reductions have the fast VPU path while s32 reductions lower
+        # ~50% slower (measured on-chip 2026-08-19: s32-key chain 1.143
+        # ms/iter vs 0.758 exact). Only the [T, 1] winner is bitcast back
+        # to s32 to unpack its index.
+        dist_ref[...] = jax.lax.bitcast_convert_type(keys, jnp.float32)
+    else:
+        dist_ref[...] = d_full
 
     sizes = list(level_sizes)  # descending
     bounds = [0] + sizes[::-1]  # ascending chunk boundaries
     # chunk c covers columns [bounds[c], bounds[c+1]); level l uses chunks
     # 0..(n_levels-1-l)
     lane_k = jax.lax.broadcasted_iota(jnp.int32, (n_queries, k), 1)
+    # (f32 +inf marks removed entries in both modes: packed keys are always
+    # finite — their exponent field never reaches 0xFF)
 
-    # per-chunk k-best: (dist, idx) + one cost row per containing level
-    chunk_d = []
-    chunk_i = []
+    # per-chunk k-best + one cost row per containing level. Exact mode
+    # carries (dist f32, idx s32) pairs; approx mode carries the packed s32
+    # keys (idx embedded). Cost accumulators are f32 in both modes — the
+    # [T, k] accumulator selects then always pair a 32-bit mask with 32-bit
+    # operands (Mosaic cannot relayout i1 vectors across lane bitwidths;
+    # that relayout was the round-3 approx compile failure).
+    chunk_d = []  # exact: f32 distances; approx: s32 keys
+    chunk_i = []  # exact only (approx indices ride the keys)
     chunk_cost = []  # chunk_cost[c][l] for levels l with m_l >= bounds[c+1]
     for c in range(len(bounds) - 1):
         lo, hi = bounds[c], bounds[c + 1]
@@ -141,62 +169,87 @@ def _corr3d_knn_kernel(
         off = 0
         for l in range(n_levels):
             if l in levels_here and with_cost:
-                # f32 or bf16 storage (fast path stores the pyramid bf16 to
-                # halve the per-iteration HBM re-read); converted once at
-                # load — selection is distance-driven either way, only the
-                # extracted cost values round under bf16 storage
-                # int8-stored costs are exact in bf16 too (|v| <= 127), so
-                # the approx mode's bf16 extraction stays lossless there
+                # converted to f32 ONCE per chunk (outside the step loop) so
+                # the in-loop masked-reduce extraction pairs a 32-bit mask
+                # with 32-bit operands in both modes. (16-bit extraction was
+                # probed 2026-08-19 and is unreachable on this target: s16
+                # iota "not supported by hardware", s16 reductions and s16
+                # compares both fail to lower.) The HBM read of the stored
+                # pyramid stays s8/bf16 either way — only the VMEM-resident
+                # chunk slice is widened.
                 pyrs.append(
-                    (l, pyr_ref[0, :, off + lo : off + hi].astype(compute_dtype))
+                    (l, pyr_ref[0, :, off + lo : off + hi].astype(jnp.float32))
                 )
             off += sizes[l]
 
-        d_sel = jnp.full((n_queries, k), jnp.inf, compute_dtype)
-        i_sel = jnp.full((n_queries, k), 0, jnp.int32)
-        c_sel = {l: jnp.zeros((n_queries, k), compute_dtype) for l, _ in pyrs}
+        c_sel0 = {l: jnp.zeros((n_queries, k), jnp.float32) for l, _ in pyrs}
 
-        def body(j, state, lo=lo, hi=hi, cols=cols, pyrs=pyrs):
-            d_sel, i_sel, c_sel = state
-            d = dist_ref[:, lo:hi]
-            dmin = jnp.min(d, axis=1, keepdims=True)
-            idx = jnp.min(
-                jnp.where(d == dmin, cols, jnp.int32(2**30)),
-                axis=1, keepdims=True,
-            )
-            mask = cols == idx
-            d_sel = jnp.where(lane_k == j, dmin, d_sel)
-            i_sel = jnp.where(lane_k == j, idx, i_sel)
-            c_sel = {
-                l: jnp.where(
-                    lane_k == j,
-                    jnp.sum(
-                        jnp.where(mask, pyr, jnp.zeros_like(pyr)),
-                        axis=1, keepdims=True,
-                    ).astype(compute_dtype),
-                    c_sel[l],
-                )
+        def extract(mask, pyrs):
+            """One masked-reduce pass per containing level."""
+            return {
+                l: jnp.sum(
+                    jnp.where(mask, pyr, jnp.zeros_like(pyr)),
+                    axis=1, keepdims=True,
+                ).astype(jnp.float32)
                 for l, pyr in pyrs
             }
-            dist_ref[:, lo:hi] = jnp.where(
-                mask, jnp.asarray(jnp.inf, compute_dtype), d
-            )
-            return d_sel, i_sel, c_sel
 
-        n_steps = min(k, width)
-        d_sel, i_sel, c_sel = _serial_loop(
-            n_steps, body, (d_sel, i_sel, c_sel)
-        )
-        chunk_d.append(d_sel)
-        chunk_i.append(i_sel)
+        if approx16:
+            k_sel0 = jnp.full((n_queries, k), jnp.inf, jnp.float32)
+
+            def body(j, state, lo=lo, hi=hi, pyrs=pyrs):
+                k_sel, c_sel = state
+                kc = dist_ref[:, lo:hi]
+                kmin = jnp.min(kc, axis=1, keepdims=True)  # ONE f32 pass:
+                # min distance AND lowest-index tie-break (keys are unique)
+                mask = kc == kmin  # unique winner
+                dist_ref[:, lo:hi] = jnp.where(mask, jnp.inf, kc)
+                k_sel = jnp.where(lane_k == j, kmin, k_sel)
+                ext = extract(mask, pyrs)
+                c_sel = {
+                    l: jnp.where(lane_k == j, ext[l], c_sel[l]) for l in ext
+                }
+                return k_sel, c_sel
+
+            n_steps = min(k, width)
+            k_sel, c_sel = _serial_loop(n_steps, body, (k_sel0, c_sel0))
+            chunk_d.append(k_sel)
+            chunk_i.append(None)
+        else:
+            d_sel0 = jnp.full((n_queries, k), jnp.inf, jnp.float32)
+            i_sel0 = jnp.full((n_queries, k), 0, jnp.int32)
+
+            def body(j, state, lo=lo, hi=hi, cols=cols, pyrs=pyrs):
+                d_sel, i_sel, c_sel = state
+                d = dist_ref[:, lo:hi]
+                dmin = jnp.min(d, axis=1, keepdims=True)
+                idx = jnp.min(
+                    jnp.where(d == dmin, cols, jnp.int32(2**30)),
+                    axis=1, keepdims=True,
+                )
+                mask = cols == idx
+                d_sel = jnp.where(lane_k == j, dmin, d_sel)
+                i_sel = jnp.where(lane_k == j, idx, i_sel)
+                c_sel = {
+                    l: jnp.where(lane_k == j, v, c_sel[l])
+                    for l, v in extract(mask, pyrs).items()
+                }
+                dist_ref[:, lo:hi] = jnp.where(mask, jnp.inf, d)
+                return d_sel, i_sel, c_sel
+
+            n_steps = min(k, width)
+            d_sel, i_sel, c_sel = _serial_loop(
+                n_steps, body, (d_sel0, i_sel0, c_sel0)
+            )
+            chunk_d.append(d_sel)
+            chunk_i.append(i_sel)
         chunk_cost.append(c_sel)
 
     # per-level merge of its chunks' candidates (straight-line: candidate
-    # counts are static)
+    # counts are static; [T, <=4k] lanes — cheap next to the chunk scans)
     for l in range(n_levels):
         n_chunks = n_levels - l
         cand_d = jnp.concatenate(chunk_d[:n_chunks], axis=1)
-        cand_i = jnp.concatenate(chunk_i[:n_chunks], axis=1)
         cand_c = (
             jnp.concatenate(
                 [chunk_cost[c][l] for c in range(n_chunks)], axis=1
@@ -205,10 +258,36 @@ def _corr3d_knn_kernel(
             else None
         )
         if n_chunks == 1:
-            acc_ref[...] = cand_i
+            acc_ref[...] = (
+                jax.lax.bitcast_convert_type(cand_d, jnp.int32) & 0xFFFF
+                if approx16
+                else chunk_i[0]
+            )
             if with_cost:
                 cost_acc_ref[...] = cand_c
+        elif approx16:
+            def merge_keys(j, state, cand_c=cand_c):
+                ck, = state
+                kmin = jnp.min(ck, axis=1, keepdims=True)
+                mask = ck == kmin  # unique winner (keys are distinct)
+                idx = (
+                    jax.lax.bitcast_convert_type(kmin, jnp.int32) & 0xFFFF
+                )  # [T, 1] — the only integer op in the merge
+                acc_ref[...] = jnp.where(lane_k == j, idx, acc_ref[...])
+                if with_cost:
+                    sel_c = jnp.sum(
+                        jnp.where(mask, cand_c, jnp.zeros_like(cand_c)),
+                        axis=1, keepdims=True,
+                    )
+                    cost_acc_ref[...] = jnp.where(
+                        lane_k == j, sel_c, cost_acc_ref[...]
+                    )
+                return (jnp.where(mask, jnp.inf, ck),)
+
+            _serial_loop(k, merge_keys, (cand_d,))
         else:
+            cand_i = jnp.concatenate(chunk_i[:n_chunks], axis=1)
+
             def merge(j, state, cand_c=cand_c, cand_i=cand_i):
                 d, = state
                 dmin = jnp.min(d, axis=1, keepdims=True)
@@ -226,16 +305,12 @@ def _corr3d_knn_kernel(
                     cost_acc_ref[...] = jnp.where(
                         lane_k == j, sel_c, cost_acc_ref[...]
                     )
-                return (
-                    jnp.where(mask, jnp.asarray(jnp.inf, d.dtype), d),
-                )
+                return (jnp.where(mask, jnp.inf, d),)
 
             _serial_loop(k, merge, (cand_d,))
         idx_out_ref[0, :, l * k : (l + 1) * k] = acc_ref[...]
         if with_cost:
-            cost_out_ref[0, :, l * k : (l + 1) * k] = cost_acc_ref[...].astype(
-                jnp.float32
-            )
+            cost_out_ref[0, :, l * k : (l + 1) * k] = cost_acc_ref[...]
 
 
 @functools.partial(
@@ -307,7 +382,9 @@ def correlation3d_knn_pallas(
     ]
     out_specs = [tile_spec(n_levels * k)]
     scratch_shapes = [
-        pltpu.VMEM((tile_n, m0), compute_dtype),
+        # f32 in both modes: exact scans raw distances, approx scans packed
+        # (bf16 distance | column) sort keys bitcast to f32 (see kernel)
+        pltpu.VMEM((tile_n, m0), jnp.float32),
         pltpu.VMEM((tile_n, k), jnp.int32),
     ]
     if with_cost:
@@ -318,7 +395,8 @@ def correlation3d_knn_pallas(
             jax.ShapeDtypeStruct((batch, total_n, n_levels * k), jnp.float32)
         )
         out_specs.append(tile_spec(n_levels * k))
-        scratch_shapes.append(pltpu.VMEM((tile_n, k), compute_dtype))
+        # cost accumulator stays f32 in both modes (32-bit lane selects)
+        scratch_shapes.append(pltpu.VMEM((tile_n, k), jnp.float32))
 
     # Wider tiles (fewer serial extraction-loop trips) blow the DEFAULT
     # 16 MB scoped-vmem cap (512 -> 36.2M, 1024 -> 72.8M measured on v5e),
@@ -357,12 +435,14 @@ def correlation3d_knn_pallas(
 def corr3d_approx_enabled() -> bool:
     """Trace-time switch for bf16 (approx) corr3d selection.
 
-    Default OFF: the bf16 compute path fails Mosaic compilation on real
-    v5e hardware ("Invalid relayout ... vector<256x256xi1>" — the i1
-    selection mask of the bf16 distance compare cannot be relayouted;
-    reproduced 2026-08-18 at both _TILE_N=128 and 256, while the f32 path
-    compiles at both). Export CAMLIFLOW_CORR3D_APPROX=1 to re-test after a
-    jax/Mosaic upgrade.
+    The round-3 Mosaic failure ("Invalid relayout ... vector<256x256xi1>")
+    was the 16-bit-lane i1 mask of the bf16 `d == dmin` compare feeding a
+    32-bit s32 `cols` select — Mosaic cannot relayout i1 vectors across
+    bitwidths. Round 5 reworked the approx path to keep every mask and its
+    select operands at one bitwidth (int16 width-dim index math + a 16-bit
+    lane iota for the [T, k] accumulators). Default stays OFF pending the
+    on-chip compile + numerics gate + timing A/B (CLAUDE.md hard rule).
+    Export CAMLIFLOW_CORR3D_APPROX=1 to enable.
     """
     import os
 
