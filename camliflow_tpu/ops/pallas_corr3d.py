@@ -398,13 +398,17 @@ def correlation3d_knn_pallas(
         # cost accumulator stays f32 in both modes (32-bit lane selects)
         scratch_shapes.append(pltpu.VMEM((tile_n, k), jnp.float32))
 
-    # Wider tiles (fewer serial extraction-loop trips) blow the DEFAULT
-    # 16 MB scoped-vmem cap (512 -> 36.2M, 1024 -> 72.8M measured on v5e),
-    # not physical VMEM — raise the cap for non-default tiles only so the
-    # default path's compiled artifact is bit-unchanged.
+    # Wider tiles (fewer serial extraction-loop trips) and the Python
+    # unroll (straight-line steps keep more intermediates live) blow the
+    # DEFAULT 16 MB scoped-vmem cap (512 -> 36.2M, 1024 -> 72.8M, unroll@256
+    # -> >16M; measured on v5e), not physical VMEM — raise the cap for those
+    # non-default knobs only so the default path's artifact is bit-unchanged.
+    import os
+
     compiler_params = (
         pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
         if tile_n > _TILE_N
+        or os.environ.get("CAMLIFLOW_CORR3D_UNROLL", "0") != "0"
         else None
     )
     outs = pl.pallas_call(
