@@ -43,6 +43,9 @@ EVAL_COMBOS = [
 
 TRAIN_COMBOS = [
     ("train-default", {}),
+    # the Trainer's default since round 5 (training.amp=true -> bf16
+    # train compute); measure_model reaches it via the env override
+    ("train-amp-bf16", {"MEASURE_COMPUTE_DTYPE": "bfloat16"}),
     ("train-no-pallas-select", {"CAMLIFLOW_CORR3D_TRAIN_SELECT": "0"}),
     ("train-loss-in-scan", {"MEASURE_LOSS_IN_SCAN": "1"}),
     ("train-remat", {"MEASURE_REMAT_SCAN": "1"}),
