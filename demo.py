@@ -92,6 +92,31 @@ def main(args):
         )
         print(f"wrote {args.out_dir}/flow_3d.npz  "
               f"(|flow| max {np.abs(flow_3d).max():.2f} m)")
+        if args.show:
+            _show_clouds(pc1, pc2, flow_3d)
+
+
+def _show_clouds(pc1, pc2, flow_3d):
+    """Interactive scene-flow view (reference demo.py:117-128): pc1 red,
+    pc2 green, pc1+flow blue. Requires open3d (not in this image — the
+    headless npz above carries the same data); degrades to a message."""
+    try:
+        import open3d
+    except ImportError:
+        print("open3d not installed: skipping interactive view "
+              "(flow_3d.npz holds pc1/pc2/flow_3d for offline viewing)")
+        return
+    clouds = []
+    for pts, color in (
+        (pc1, [1, 0, 0]), (pc2, [0, 1, 0]), (pc1 + flow_3d, [0, 0, 1])
+    ):
+        cloud = open3d.geometry.PointCloud()
+        cloud.points = open3d.utility.Vector3dVector(pts.astype(np.float64))
+        cloud.colors = open3d.utility.Vector3dVector(
+            np.zeros_like(pts, np.float64) + color
+        )
+        clouds.append(cloud)
+    open3d.visualization.draw_geometries(clouds)
 
 
 if __name__ == "__main__":
@@ -109,4 +134,8 @@ if __name__ == "__main__":
     parser.add_argument("--f", type=float, default=1050.0)
     parser.add_argument("--cx", type=float, default=479.5)
     parser.add_argument("--cy", type=float, default=269.5)
+    parser.add_argument(
+        "--show", action="store_true",
+        help="interactive open3d scene-flow view (reference demo.py:117-128)",
+    )
     main(parser.parse_args())
