@@ -366,6 +366,51 @@ def corr_lookup_2d_padded(
             # after the convex bilinear blend.
             padded2 = padded2.astype(jnp.bfloat16)
 
+        if storage != "split" and lookup_fold_enabled():
+            # bf16 two-tap fold: the 2x2 bilinear blend rides the selection
+            # matrices — w(i) = (1-f)*onehot(start+i) + f*onehot(start+i+1),
+            # span x span output, no patch slicing, no blend fusion, and no
+            # {2,1,0}->{0,2,1} relayout copy between einsum and blend (the
+            # trace's #2 lookup cost). Each bf16xbf16 product is exact in
+            # the f32 accumulator; only the blend WEIGHTS round to bf16
+            # (~2^-9, same order as the int8 storage envelope — numerics-
+            # gated). The round-4 fold attempt lost 16 ms because its
+            # two-tap matrices were f32 (3-pass HIGH matmuls, 3x MXU);
+            # bf16 taps keep the single-pass path. OOB taps still zero out
+            # (both component one-hots are empty outside [0, dim)).
+            span_ids = jax.lax.broadcasted_iota(jnp.int32, (1, span, 1), 1)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ph), 2)
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pw), 2)
+            y0_tap = start_y[:, None, None] + span_ids
+            x0_tap = start_x[:, None, None] + span_ids
+            fy_b = fy.astype(jnp.bfloat16)
+            fx_b = fx.astype(jnp.bfloat16)
+            row_sel = (row_ids == y0_tap).astype(jnp.bfloat16) * (
+                jnp.bfloat16(1) - fy_b
+            ) + (row_ids == y0_tap + 1).astype(jnp.bfloat16) * fy_b
+            col_sel = (col_ids == x0_tap).astype(jnp.bfloat16) * (
+                jnp.bfloat16(1) - fx_b
+            ) + (col_ids == x0_tap + 1).astype(jnp.bfloat16) * fx_b
+            if storage == "int8":
+                padded2 = padded2.astype(jnp.bfloat16)
+            cslab = jnp.einsum(
+                "rqw,rwh->rqh", col_sel, padded2,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            blended = jnp.einsum(
+                "rth,rph->rtp", cslab, row_sel,
+                preferred_element_type=jnp.float32,
+            )  # [rows, span(x), span(y)] — blended, x-major
+            if scale is not None:
+                blended = blended * scale[:, None, None]
+            if corr_bf16_out_enabled():
+                blended = blended.astype(jnp.bfloat16)
+            sampled = blended.reshape(rows, span * span)
+            out_pyramid.append(
+                sampled.reshape(batch, height, width, span * span)
+            )
+            continue
+
         patch_ids = jax.lax.broadcasted_iota(jnp.int32, (1, patch, 1), 1)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ph), 2)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pw), 2)
@@ -423,6 +468,16 @@ def corr_lookup_2d_padded(
         sampled = blended.reshape(rows, span * span)
         out_pyramid.append(sampled.reshape(batch, height, width, span * span))
     return jnp.concatenate(out_pyramid, axis=-1)
+
+
+def lookup_fold_enabled() -> bool:
+    """Trace-time switch for the bf16 two-tap fold of the bilinear blend
+    into the lookup selection matrices (fast-inference storages only;
+    default OFF until the on-chip numerics gate + timing A/B pass,
+    CLAUDE.md hard rule). Export CAMLIFLOW_LOOKUP_FOLD=1 to enable."""
+    import os
+
+    return os.environ.get("CAMLIFLOW_LOOKUP_FOLD", "0") != "0"
 
 
 def corr_bf16_out_enabled() -> bool:

@@ -253,3 +253,36 @@ def test_corr_lookup_gradient_parity(rng):
         ref = ref.numpy().transpose(0, 2, 3, 1)
         scale = np.abs(ref).max()
         np.testing.assert_allclose(np.asarray(got), ref, atol=scale * 2.0**-7)
+
+
+@pytest.mark.parametrize("storage", ["bf16", "int8"])
+def test_corr_lookup_fold_close_to_exact(rng, storage, monkeypatch):
+    """CAMLIFLOW_LOOKUP_FOLD=1: the bf16 two-tap fold (blend riding the
+    selection matrices) stays within the combined bf16-weight + storage
+    envelope of the exact f32 lookup, and agrees with the unfolded fast
+    path to the bf16 rounding of the blend weights."""
+    monkeypatch.setenv("CAMLIFLOW_LOOKUP_FOLD", "1")
+    f1 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    f2 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    flow = rng.uniform(-3, 3, size=(1, 8, 8, 2)).astype(np.float32)
+    coords = np.asarray(ops.mesh_grid(1, 8, 8)) + flow
+
+    pyr = ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3)
+    exact = np.asarray(ops.corr_lookup_2d(pyr, jnp.asarray(coords), radius=2))
+    # jit caches key on args only; the env flip needs a fresh trace
+    from camliflow_tpu.ops.correlation import (
+        corr_lookup_2d_padded,
+        pad_pyramid_for_lookup,
+    )
+
+    folded = np.asarray(
+        corr_lookup_2d_padded.__wrapped__(
+            pad_pyramid_for_lookup(pyr, 2, storage=storage),
+            jnp.asarray(coords), 2, storage=storage,
+        )
+    )
+    scale = np.abs(exact).max()
+    # storage envelope + two bf16 roundings (weights, stage-1 slab)
+    bound = (1.0 / 254 if storage == "int8" else 2.0**-8) + 3 * 2.0**-8
+    np.testing.assert_allclose(folded, exact, atol=scale * bound)
+    assert folded.shape == exact.shape
