@@ -659,6 +659,15 @@ class CamLiRAFTCore(nn.Module):
 
             if corr3d_tail_enabled():
                 consts["corr3d_tail"] = update.pallas_corr3d_tail_params()
+            from ..ops.pallas_ohg import ohg_enabled, pack_dw_tree
+
+            if "me3d_params" not in consts and ohg_enabled():
+                # one-hot-MXU fused gather/multiply/max for the in-loop
+                # point convs (ops/pallas_ohg.py): k-major rearrangement of
+                # the hoisted dw weights + indices, once, outside the scan
+                consts["dw"] = pack_dw_tree(
+                    consts["dw"], knn_indices, xyz1.shape[1]
+                )
         if self.profile_stage == "volumes":
             # consume every const fully so XLA cannot dead-code any of the
             # volume/cache construction

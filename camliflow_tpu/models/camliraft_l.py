@@ -587,6 +587,21 @@ class CamLiRAFTLCore(nn.Module):
             consts["dw"], consts["me3d_params"], consts["gf3d_params"] = (
                 quantize_dw_int8(consts["dw"], me3, gf3)
             )
+        from ..ops.pallas_ohg import ohg_enabled, pack_dw_tree
+
+        if (
+            update.fast_inference
+            and not self.is_initializing()
+            and "me3d_params" not in consts  # update3d consumes original dw
+            and ohg_enabled()
+        ):
+            # one-hot-MXU fused gather/multiply/max for the in-loop point
+            # convs (ops/pallas_ohg.py): rearrange the hoisted dw weights +
+            # indices to the kernel's k-major tile layout, once, here —
+            # outside the scan
+            consts["dw"] = pack_dw_tree(
+                consts["dw"], knn_indices, xyz1.shape[1]
+            )
         from ..ops.pallas_corr3d import corr3d_tail_enabled
 
         if (

@@ -191,7 +191,20 @@ class PointConvDW(nn.Module):
         """`fast=True` (inference only): the per-point features are cast to
         bfloat16 before the KNN gather, halving the gather's HBM traffic —
         the dominant in-loop cost of the 9 refinement-scan point convs
-        (~2^-9 relative on the conv output; see PARITY.md)."""
+        (~2^-9 relative on the conv output; see PARITY.md).
+
+        When `weights` is an OHG pack (ops/pallas_ohg.py — k-major
+        prearranged weights + indices, produced by the cores' precompute on
+        the fast path), the gather + multiply + max tail runs as ONE
+        one-hot-MXU Pallas kernel, bit-identical to the fast gather path."""
+        from ..ops.pallas_ohg import dw_conv_ohg, is_ohg_pack
+
+        if is_ohg_pack(weights):
+            assert fast, "OHG packs are inference-only"
+            features = self.mlp(features, train=train).astype(jnp.bfloat16)
+            return dw_conv_ohg(
+                features, weights["idx_km"], weights["w_km"], self.k
+            )
         if weights is None:
             weights = self.compute_weights(
                 xyz, sampled_xyz, knn_indices, train=train, dtype=features.dtype
@@ -233,6 +246,20 @@ def paired_dw_conv(
     (models/point_conv.py:102-130 via camliraft_l_core.py:119-134).
     """
     assert conv_a.k == conv_b.k
+    from ..ops.pallas_ohg import dw_conv_ohg, is_ohg_pack
+
+    if is_ohg_pack(weights):
+        # one-hot-MXU fused gather/multiply/max over the channel-concat of
+        # both convs' MLP outputs (ops/pallas_ohg.py) — same merged-gather
+        # semantics as below, one Pallas call
+        assert fast, "OHG packs are inference-only"
+        fa = conv_a.mlp(features, train=train)
+        fb = conv_b.mlp(features, train=train)
+        feats = jnp.concatenate([fa, fb], axis=-1).astype(jnp.bfloat16)
+        out = dw_conv_ohg(
+            feats, weights["idx_km"], weights["w_km"], conv_a.k
+        )
+        return out[..., : fa.shape[-1]], out[..., fa.shape[-1] :]
     if weights is None:
         weights = jnp.concatenate(
             [
