@@ -20,14 +20,24 @@ from device_trace import collect_events  # noqa: E402
 
 def main(model="camliraft", n_frames=2, top_k=45):
     events, line_events, module_ms = collect_events(model, n_frames)
+    # EVERY frame's while window (n_frames executions of the loop) — using
+    # only the longest one while dividing by n_frames halved every family
+    # number in the round-4/5 PERF traces (the other frame's loop events
+    # landed in OUTSIDE): intersect with the union of all windows instead.
     loops = sorted(
         ((s, s + d) for n, s, d in events if n.startswith("%while")),
-        key=lambda r: r[1] - r[0],
+        key=lambda r: r[0],
     )
-    lo, hi = loops[-1]
+    windows = []
+    for s, e in loops:
+        if windows and s <= windows[-1][1]:  # nested/overlapping: merge
+            windows[-1] = (windows[-1][0], max(windows[-1][1], e))
+        else:
+            windows.append((s, e))
+    total_win = sum(e - s for s, e in windows)
     print(
-        f"while window {(hi - lo) / 1e9:.2f} ms; module "
-        f"{module_ms / n_frames:.2f} ms/frame"
+        f"while windows {len(windows)} totalling {total_win / 1e9 / n_frames:.2f}"
+        f" ms/frame; module {module_ms / n_frames:.2f} ms/frame"
     )
 
     comp = min(
@@ -78,12 +88,14 @@ def main(model="camliraft", n_frames=2, top_k=45):
                 key = f"{m.group(1).rstrip('0123456789.')} {m.group(3)}"
             else:
                 key = n[:60]
-            dur = (min(e, hi) - max(s, lo)) / 1e9 / n_frames
+            dur = sum(
+                max(0, min(e, hi) - max(s, lo)) for lo, hi in windows
+            ) / 1e9 / n_frames
             full = (e - s) / 1e9 / n_frames
             if dur > 0:
                 in_loop[key] += dur
-            if full - max(dur, 0) > 0:
-                outside[key] += full - max(dur, 0)
+            if full - dur > 0:
+                outside[key] += full - dur
 
         total_in = sum(in_loop.values())
         total_out = sum(outside.values())
