@@ -70,12 +70,29 @@ def _serial_loop(n_steps: int, body, state):
     return jax.lax.fori_loop(0, n_steps, body, state)
 
 
+def _ilp_enabled() -> bool:
+    """CAMLIFLOW_CORR3D_ILP=1: run step j of all INDEPENDENT selection
+    loops in one fused loop body. The kernel's serial cost is per-STEP
+    latency, not width (probed: chunking halved per-step work, ms/call
+    flat), and the 4 chunk scans touch disjoint dist_ref column ranges
+    while the 3+ level merges touch disjoint carries — so interleaving
+    their dependency chains cuts the step count 112 -> 32 per tile at the
+    model's (2048,1024,512,256)/k=16 without changing any computed value.
+    Default OFF until the on-chip compile + bit-parity + timing A/B passes
+    (CLAUDE.md hard rule). Trace-time semantics like CORR3D_TILE: jit
+    caches key on args only, so set it before the first call."""
+    import os
+
+    return os.environ.get("CAMLIFLOW_CORR3D_ILP", "0") != "0"
+
+
 def _corr3d_knn_kernel(
     *refs,
     level_sizes,
     k,
     compute_dtype=jnp.float32,
     with_cost=True,
+    ilp=False,
 ):
     """Chunked prefix selection.
 
@@ -158,6 +175,15 @@ def _corr3d_knn_kernel(
     chunk_d = []  # exact: f32 distances; approx: s32 keys
     chunk_i = []  # exact only (approx indices ride the keys)
     chunk_cost = []  # chunk_cost[c][l] for levels l with m_l >= bounds[c+1]
+    # ilp mode: defer the chunk loops and fuse their step-j bodies into one
+    # loop (the chunks read/write disjoint dist_ref columns — independent
+    # dependency chains; requires every chunk to run the same k steps).
+    # Values are identical either way; only the instruction interleaving
+    # changes.
+    chunk_jobs = []  # (body, state0) when deferred
+    fuse_chunks = ilp and all(
+        min(k, bounds[c + 1] - bounds[c]) == k for c in range(len(bounds) - 1)
+    )
     for c in range(len(bounds) - 1):
         lo, hi = bounds[c], bounds[c + 1]
         width = hi - lo
@@ -212,6 +238,9 @@ def _corr3d_knn_kernel(
                 return k_sel, c_sel
 
             n_steps = min(k, width)
+            if fuse_chunks:
+                chunk_jobs.append((body, (k_sel0, c_sel0)))
+                continue
             k_sel, c_sel = _serial_loop(n_steps, body, (k_sel0, c_sel0))
             chunk_d.append(k_sel)
             chunk_i.append(None)
@@ -238,6 +267,9 @@ def _corr3d_knn_kernel(
                 return d_sel, i_sel, c_sel
 
             n_steps = min(k, width)
+            if fuse_chunks:
+                chunk_jobs.append((body, (d_sel0, i_sel0, c_sel0)))
+                continue
             d_sel, i_sel, c_sel = _serial_loop(
                 n_steps, body, (d_sel0, i_sel0, c_sel0)
             )
@@ -245,8 +277,34 @@ def _corr3d_knn_kernel(
             chunk_i.append(i_sel)
         chunk_cost.append(c_sel)
 
+    if fuse_chunks:
+        bodies = [b for b, _ in chunk_jobs]
+
+        def fused_chunks_body(j, states):
+            return tuple(b(j, s) for b, s in zip(bodies, states))
+
+        states = _serial_loop(
+            k, fused_chunks_body, tuple(s for _, s in chunk_jobs)
+        )
+        for st in states:
+            if approx16:
+                k_sel, c_sel = st
+                chunk_d.append(k_sel)
+                chunk_i.append(None)
+            else:
+                d_sel, i_sel, c_sel = st
+                chunk_d.append(d_sel)
+                chunk_i.append(i_sel)
+            chunk_cost.append(c_sel)
+
     # per-level merge of its chunks' candidates (straight-line: candidate
-    # counts are static; [T, <=4k] lanes — cheap next to the chunk scans)
+    # counts are static; [T, <=4k] lanes — cheap next to the chunk scans).
+    # ilp mode: the 3+ multi-chunk merges have disjoint dependency chains
+    # (each level owns its candidate set), so their step-j bodies fuse into
+    # ONE k-step loop — but the shared acc_ref scratch can't serve
+    # interleaved levels, so fused merges carry their accumulators in the
+    # loop state instead (same values, same output writes).
+    merge_jobs = []  # (level, body, state0) when ilp
     for l in range(n_levels):
         n_chunks = n_levels - l
         cand_d = jnp.concatenate(chunk_d[:n_chunks], axis=1)
@@ -265,6 +323,49 @@ def _corr3d_knn_kernel(
             )
             if with_cost:
                 cost_acc_ref[...] = cand_c
+        elif ilp:
+            acc_i0 = jnp.zeros((n_queries, k), jnp.int32)
+            acc_c0 = jnp.zeros((n_queries, k), jnp.float32)
+            if approx16:
+
+                def body_ilp(j, state, cand_c=cand_c):
+                    ck, acc_i, acc_c = state
+                    kmin = jnp.min(ck, axis=1, keepdims=True)
+                    mask = ck == kmin  # unique winner (keys are distinct)
+                    idx = (
+                        jax.lax.bitcast_convert_type(kmin, jnp.int32) & 0xFFFF
+                    )
+                    acc_i = jnp.where(lane_k == j, idx, acc_i)
+                    if with_cost:
+                        sel_c = jnp.sum(
+                            jnp.where(mask, cand_c, jnp.zeros_like(cand_c)),
+                            axis=1, keepdims=True,
+                        )
+                        acc_c = jnp.where(lane_k == j, sel_c, acc_c)
+                    return jnp.where(mask, jnp.inf, ck), acc_i, acc_c
+
+            else:
+                cand_i = jnp.concatenate(chunk_i[:n_chunks], axis=1)
+
+                def body_ilp(j, state, cand_c=cand_c, cand_i=cand_i):
+                    d, acc_i, acc_c = state
+                    dmin = jnp.min(d, axis=1, keepdims=True)
+                    sel_i = jnp.min(
+                        jnp.where(d == dmin, cand_i, jnp.int32(2**30)),
+                        axis=1, keepdims=True,
+                    )
+                    mask = (d == dmin) & (cand_i == sel_i)
+                    acc_i = jnp.where(lane_k == j, sel_i, acc_i)
+                    if with_cost:
+                        sel_c = jnp.sum(
+                            jnp.where(mask, cand_c, jnp.zeros_like(cand_c)),
+                            axis=1, keepdims=True,
+                        )
+                        acc_c = jnp.where(lane_k == j, sel_c, acc_c)
+                    return jnp.where(mask, jnp.inf, d), acc_i, acc_c
+
+            merge_jobs.append((l, body_ilp, (cand_d, acc_i0, acc_c0)))
+            continue
         elif approx16:
             def merge_keys(j, state, cand_c=cand_c):
                 ck, = state
@@ -312,10 +413,26 @@ def _corr3d_knn_kernel(
         if with_cost:
             cost_out_ref[0, :, l * k : (l + 1) * k] = cost_acc_ref[...]
 
+    if merge_jobs:
+        merge_bodies = [b for _, b, _ in merge_jobs]
+
+        def fused_merges_body(j, states):
+            return tuple(b(j, s) for b, s in zip(merge_bodies, states))
+
+        states = _serial_loop(
+            k, fused_merges_body, tuple(s for _, _, s in merge_jobs)
+        )
+        for (l, _, _), (_, acc_i, acc_c) in zip(merge_jobs, states):
+            idx_out_ref[0, :, l * k : (l + 1) * k] = acc_i
+            if with_cost:
+                cost_out_ref[0, :, l * k : (l + 1) * k] = acc_c
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("level_sizes", "k", "interpret", "approx", "with_cost"),
+    static_argnames=(
+        "level_sizes", "k", "interpret", "approx", "with_cost", "ilp"
+    ),
 )
 def correlation3d_knn_pallas(
     xyz1: jax.Array,
@@ -326,6 +443,7 @@ def correlation3d_knn_pallas(
     interpret: bool | None = None,
     approx: bool = False,
     with_cost: bool = True,
+    ilp: bool | None = None,
 ) -> tuple[jax.Array, jax.Array | None]:
     """Per-level prefix KNN selection + cost extraction.
 
@@ -345,6 +463,10 @@ def correlation3d_knn_pallas(
         passes disappear from every selection step. Used by the training
         path, which only needs the indices (the differentiable cost gather
         stays XLA).
+      ilp: fuse step j of the independent selection loops (4 chunk scans,
+        then the 3+ level merges) into two loops — 112 -> 32 serial steps
+        per tile at the model shape, identical values. None reads
+        CAMLIFLOW_CORR3D_ILP (trace-time; default off per the hard rule).
     Returns:
       (indices [B, N, L*k] int32, costs [B, N, L*k] f32 or None). With
       approx=False, selection semantics match the XLA path bit-exactly
@@ -353,6 +475,8 @@ def correlation3d_knn_pallas(
     """
     if interpret is None:
         interpret = not _on_tpu()  # CPU runs the interpreter (tests)
+    if ilp is None:
+        ilp = _ilp_enabled()
     compute_dtype = jnp.bfloat16 if approx else jnp.float32
     batch, n_queries, _ = xyz1.shape
     m0 = xyz2_warp.shape[1]
@@ -414,7 +538,7 @@ def correlation3d_knn_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _corr3d_knn_kernel, level_sizes=tuple(level_sizes), k=k,
-            compute_dtype=compute_dtype, with_cost=with_cost,
+            compute_dtype=compute_dtype, with_cost=with_cost, ilp=ilp,
         ),
         out_shape=tuple(out_shape),
         grid=(batch, n_tiles),

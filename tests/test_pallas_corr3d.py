@@ -91,6 +91,46 @@ def test_selection_matches_xla_path(rng, k):
     )
 
 
+@pytest.mark.parametrize("approx", [False, True])
+def test_ilp_bit_parity(rng, approx):
+    """CAMLIFLOW_CORR3D_ILP fuses step j of the independent chunk scans and
+    level merges into two loops; every computed value must be bit-identical
+    to the sequential schedule (only the instruction interleaving changes)."""
+    xyz1, xyz2, level_sizes, pyramid = _make_case(rng)
+    cv = jnp.concatenate(pyramid, axis=-1)
+    base_idx, base_cost = correlation3d_knn_pallas(
+        xyz1, xyz2, cv, tuple(level_sizes), k=16, interpret=True,
+        approx=approx, ilp=False,
+    )
+    ilp_idx, ilp_cost = correlation3d_knn_pallas(
+        xyz1, xyz2, cv, tuple(level_sizes), k=16, interpret=True,
+        approx=approx, ilp=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ilp_idx), np.asarray(base_idx))
+    np.testing.assert_array_equal(np.asarray(ilp_cost), np.asarray(base_cost))
+    # training path (indices only)
+    nc_idx, _ = correlation3d_knn_pallas(
+        xyz1, xyz2, None, tuple(level_sizes), k=16, interpret=True,
+        approx=approx, with_cost=False, ilp=True,
+    )
+    np.testing.assert_array_equal(np.asarray(nc_idx), np.asarray(base_idx))
+    # chunk narrower than k (smallest chunk 12 < 16): fuse_chunks bails to
+    # the sequential schedule for the chunks but the merges still fuse —
+    # values unchanged
+    narrow_base, nb_cost = correlation3d_knn_pallas(
+        xyz1, xyz2, cv[..., : sum((48, 24, 12))], (48, 24, 12), k=16,
+        interpret=True, approx=approx, ilp=False,
+    )
+    narrow_ilp, ni_cost = correlation3d_knn_pallas(
+        xyz1, xyz2, cv[..., : sum((48, 24, 12))], (48, 24, 12), k=16,
+        interpret=True, approx=approx, ilp=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(narrow_ilp), np.asarray(narrow_base)
+    )
+    np.testing.assert_array_equal(np.asarray(ni_cost), np.asarray(nb_cost))
+
+
 def test_module_fast_path_matches(rng):
     """Correlation3D(fast=True) == Correlation3D(fast=False) end to end."""
     xyz1, xyz2, level_sizes, pyramid = _make_case(rng)

@@ -70,24 +70,39 @@ def child():
 
     tag = (
         f"tile={os.environ.get('CAMLIFLOW_CORR3D_TILE', '256')} "
-        f"unroll={os.environ.get('CAMLIFLOW_CORR3D_UNROLL', '0')}"
+        f"unroll={os.environ.get('CAMLIFLOW_CORR3D_UNROLL', '0')} "
+        f"ilp={os.environ.get('CAMLIFLOW_CORR3D_ILP', '0')}"
     )
     time_scan(f"corr3d pallas {tag}", c3_step, flow0, consts)
 
 
-def main():
-    for tile, unroll in (("256", "0"), ("512", "0"), ("1024", "0"), ("2048", "0")):
+# (tile, unroll, ilp) triples; pass names on argv to run a subset, e.g.
+# `python tools/ab_corr3d.py baseline ilp`
+CONFIGS = {
+    "baseline": ("256", "0", "0"),
+    "tile512": ("512", "0", "0"),
+    "tile1024": ("1024", "0", "0"),
+    "tile2048": ("2048", "0", "0"),
+    "ilp": ("256", "0", "1"),
+    "ilp512": ("512", "0", "1"),
+}
+
+
+def main(names):
+    names = names or ["baseline", "tile512", "tile1024", "tile2048"]
+    for name in names:
+        tile, unroll, ilp = CONFIGS[name]
         env = dict(os.environ)
         env["CAMLIFLOW_CORR3D_TILE"] = tile
         env["CAMLIFLOW_CORR3D_UNROLL"] = unroll
+        env["CAMLIFLOW_CORR3D_ILP"] = ilp
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "child"],
             env=env, capture_output=True, text=True, timeout=1200,
         )
         out = (r.stdout + r.stderr).strip().splitlines()
         hits = [l for l in out if "corr3d pallas" in l]
-        print(hits[-1] if hits else
-              f"tile={tile} unroll={unroll}: no result line", flush=True)
+        print(hits[-1] if hits else f"{name}: no result line", flush=True)
         if r.returncode != 0:
             print(f"  (rc={r.returncode}) " + "\n  ".join(out[-6:]), flush=True)
 
@@ -96,4 +111,4 @@ if __name__ == "__main__":
     if sys.argv[1:2] == ["child"]:
         child()
     else:
-        main()
+        main(sys.argv[1:])
