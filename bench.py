@@ -123,6 +123,27 @@ def main():
         "device": str(jax.devices()[0].device_kind),
         "secondary": [],
     }
+    # Deadline watchdog: the remote-compile service has shown hour-scale
+    # degradation windows (2026-08-19: a tiny matmul compile took >7 min).
+    # A compile that blocks forever cannot be interrupted in-process, so at
+    # the deadline print whatever has finished and hard-exit 0 — one partial
+    # JSON line always beats an empty BENCH_r*.json. BENCH_DEADLINE_S=0
+    # disables.
+    import os
+    import threading
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "10800"))
+    finished = threading.Event()
+
+    def watchdog():
+        if not finished.wait(timeout=deadline):
+            result["deadline_hit"] = True
+            print(json.dumps(result), flush=True)
+            os._exit(0)
+
+    if deadline > 0:
+        threading.Thread(target=watchdog, daemon=True).start()
+
     # EVERY model is try/except-wrapped — round 3's lesson: one flagship
     # compile failure must never leave an empty BENCH_r*.json. A failed
     # flagship keeps value=0 but the secondaries (and the error) still land.
@@ -148,6 +169,7 @@ def main():
             )
         except Exception as e:  # secondary models must not sink the bench
             print(f"{name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    finished.set()
     print(json.dumps(result))
 
 

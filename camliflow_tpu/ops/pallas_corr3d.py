@@ -72,15 +72,18 @@ def _serial_loop(n_steps: int, body, state):
 
 def _ilp_enabled() -> bool:
     """CAMLIFLOW_CORR3D_ILP=1: run step j of all INDEPENDENT selection
-    loops in one fused loop body. The kernel's serial cost is per-STEP
-    latency, not width (probed: chunking halved per-step work, ms/call
-    flat), and the 4 chunk scans touch disjoint dist_ref column ranges
-    while the 3+ level merges touch disjoint carries — so interleaving
-    their dependency chains cuts the step count 112 -> 32 per tile at the
-    model's (2048,1024,512,256)/k=16 without changing any computed value.
-    Default OFF until the on-chip compile + bit-parity + timing A/B passes
-    (CLAUDE.md hard rule). Trace-time semantics like CORR3D_TILE: jit
-    caches key on args only, so set it before the first call."""
+    loops in one fused loop body (4 chunk scans over disjoint dist_ref
+    columns, then the 3+ level merges over disjoint carries) — 112 -> 32
+    serial steps per tile at the model's (2048,1024,512,256)/k=16,
+    bit-identical values.
+
+    ADJUDICATED NEGATIVE on-chip 2026-08-19 (tools/ab_corr3d_ilp.py,
+    bit-parity OK): with_cost 0.624 -> 1.230 ms/iter, nocost 0.329 ->
+    0.973. fori_loop carries round-trip VMEM on this Mosaic, so fusing N
+    loops multiplies per-step carry traffic by ~N — fewer steps lose to
+    fatter state, the same shape as the round-3 interleave+unroll loss.
+    The kernel is pass-work-bound, not step-latency-bound; the flag stays
+    "0" (kept for future-toolchain re-tests)."""
     import os
 
     return os.environ.get("CAMLIFLOW_CORR3D_ILP", "0") != "0"
