@@ -96,10 +96,17 @@ def main(names):
         env["CAMLIFLOW_CORR3D_TILE"] = tile
         env["CAMLIFLOW_CORR3D_UNROLL"] = unroll
         env["CAMLIFLOW_CORR3D_ILP"] = ilp
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "child"],
-            env=env, capture_output=True, text=True, timeout=1200,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "child"],
+                env=env, capture_output=True, text=True,
+                timeout=int(os.environ.get("AB_CHILD_TIMEOUT", "1200")),
+            )
+        except subprocess.TimeoutExpired:
+            # a degraded remote-compile service can blow the per-child
+            # budget — report and keep sweeping the remaining configs
+            print(f"{name}: child timed out", flush=True)
+            continue
         out = (r.stdout + r.stderr).strip().splitlines()
         hits = [l for l in out if "corr3d pallas" in l]
         print(hits[-1] if hits else f"{name}: no result line", flush=True)
