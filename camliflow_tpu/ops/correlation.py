@@ -156,6 +156,7 @@ def pad_pyramid_for_lookup(
     """
     assert storage in ("split", "bf16", "int8"), storage
     pad = _lookup_pad(radius)
+    hmajor = storage != "split" and lookup_hmajor_enabled()
     out = []
     for corr in pyramid:
         padded = jnp.pad(corr[..., 0], ((0, 0), (pad, pad), (pad, pad)))
@@ -165,7 +166,14 @@ def pad_pyramid_for_lookup(
         # scan-carried constant keeps the default one — and the mismatch
         # materialised as a full pyramid relayout copy EVERY iteration
         # (~320 MB/iter in the compiled while body).
-        padded = padded.transpose(0, 2, 1)
+        # CAMLIFLOW_LOOKUP_HMAJOR flips the fast-path storage to h-major
+        # ([rows, h+2p, w+2p]) AND flips the lookup's contraction order so
+        # the fat stage-1 einsum emits w lanes (94% MXU columns at the
+        # flagship's level-0 w=120 vs 53% at h=68) with no relayout between
+        # the stages — the old relayout trap above applied to h-major
+        # storage consumed by the w-contracting einsum, not to this pairing.
+        if not hmajor:
+            padded = padded.transpose(0, 2, 1)
         if storage == "int8":
             from .geometry import quantize_rows_int8
 
@@ -224,6 +232,7 @@ def padded_pyramid_from_features(
     batch, height, width, dim = fmap1.shape
     rows = batch * height * width
     pad = _lookup_pad(radius)
+    hmajor = lookup_hmajor_enabled()
     f1 = fmap1.reshape(batch, rows // batch, dim).astype(jnp.float32)
     scale = 1.0 / jnp.sqrt(jnp.float32(dim))
 
@@ -247,7 +256,12 @@ def padded_pyramid_from_features(
         # (pooled) feature of frame-2 pixel (y-pad, x-pad), zeros elsewhere —
         # a zero feature column dots to an exact zero corr value
         tab = jnp.pad(f2l, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        tab = tab.transpose(0, 3, 2, 1).reshape(batch, dim, pw * ph)
+        if hmajor:
+            # h-major table [B, C, ph*pw]: column y*pw + x (see
+            # pad_pyramid_for_lookup / CAMLIFLOW_LOOKUP_HMAJOR)
+            tab = tab.transpose(0, 3, 1, 2).reshape(batch, dim, ph * pw)
+        else:
+            tab = tab.transpose(0, 3, 2, 1).reshape(batch, dim, pw * ph)
         vol = (
             jnp.einsum(
                 "bnd,bdm->bnm",
@@ -258,11 +272,12 @@ def padded_pyramid_from_features(
             )
             * scale
         ).reshape(rows, pw * ph)
+        lvl_shape = (rows, ph, pw) if hmajor else (rows, pw, ph)
         if storage == "int8":
             q, qscale = quantize_rows_int8(vol)
-            out.append((q.reshape(rows, pw, ph), qscale[:, 0]))
+            out.append((q.reshape(lvl_shape), qscale[:, 0]))
         else:
-            out.append(vol.astype(jnp.bfloat16).reshape(rows, pw, ph))
+            out.append(vol.astype(jnp.bfloat16).reshape(lvl_shape))
     return out
 
 
@@ -330,15 +345,20 @@ def corr_lookup_2d_padded(
     pad = _lookup_pad(r)
     halves = 2 if storage == "split" else 1
 
+    hmajor = storage != "split" and lookup_hmajor_enabled()
     coords_flat = coords.reshape(batch * height * width, 2).astype(jnp.float32)
     out_pyramid = []
     for i, padded2 in enumerate(padded_pyramid):
         scale = None
         if storage == "int8":
             padded2, scale = padded2
-        # w-major storage: [rows, w+2p, halves*(h+2p)]
-        rows, pw = padded2.shape[0], padded2.shape[1]
-        ph = padded2.shape[2] // halves  # [hi | lo] halves along height
+        if hmajor:
+            # h-major fast-path storage: [rows, h+2p, w+2p] (halves == 1)
+            rows, ph, pw = padded2.shape
+        else:
+            # w-major storage: [rows, w+2p, halves*(h+2p)]
+            rows, pw = padded2.shape[0], padded2.shape[1]
+            ph = padded2.shape[2] // halves  # [hi | lo] halves along height
         level_h, level_w = ph - 2 * pad, pw - 2 * pad
         c = coords_flat / (2.0**i)
         # clamp far-out coords; everything at/beyond the clamp samples only
@@ -393,14 +413,24 @@ def corr_lookup_2d_padded(
             ) + (col_ids == x0_tap + 1).astype(jnp.bfloat16) * fx_b
             if storage == "int8":
                 padded2 = padded2.astype(jnp.bfloat16)
-            cslab = jnp.einsum(
-                "rqw,rwh->rqh", col_sel, padded2,
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-            blended = jnp.einsum(
-                "rth,rph->rtp", cslab, row_sel,
-                preferred_element_type=jnp.float32,
-            )  # [rows, span(x), span(y)] — blended, x-major
+            if hmajor:
+                rslab = jnp.einsum(
+                    "rph,rhw->rpw", row_sel, padded2,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+                blended = jnp.einsum(
+                    "rqw,rpw->rqp", col_sel, rslab,
+                    preferred_element_type=jnp.float32,
+                )  # [rows, span(x), span(y)] — blended, x-major
+            else:
+                cslab = jnp.einsum(
+                    "rqw,rwh->rqh", col_sel, padded2,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+                blended = jnp.einsum(
+                    "rth,rph->rtp", cslab, row_sel,
+                    preferred_element_type=jnp.float32,
+                )  # [rows, span(x), span(y)] — blended, x-major
             if scale is not None:
                 blended = blended * scale[:, None, None]
             if corr_bf16_out_enabled():
@@ -420,21 +450,41 @@ def corr_lookup_2d_padded(
         col_sel = (col_ids == start_x[:, None, None] + patch_ids).astype(
             jnp.bfloat16
         )  # [rows, P, pw]
-        # stage 1: column (x) selection over the halves; the f32 result
-        # holds pure bf16 values (one-hot selection), so the cast to bf16 is
-        # lossless
-        cslab = jnp.einsum(
-            "rqw,rwh->rqh", col_sel, padded2,
-            preferred_element_type=jnp.float32,
-        )  # [rows, Q, halves*ph]
-        cslab = cslab.astype(jnp.bfloat16).reshape(rows, patch * halves, ph)
-        # stage 2: row (y) selection per half, then recombine hi + lo.
-        # Output is [rows, Q(x), P(y)] — x-major, matching the reference's
-        # channel order without a final transpose.
-        patches2 = jnp.einsum(
-            "rth,rph->rtp", cslab, row_sel, preferred_element_type=jnp.float32
-        ).reshape(rows, patch, halves, patch)
-        patches = jnp.sum(patches2, axis=2)
+        if hmajor:
+            # h-major contraction order: row (y) selection first — the fat
+            # table-reading einsum emits pw lanes (94% MXU columns at the
+            # flagship level-0 vs 53% for ph); stage 2 contracts w between
+            # two per-row operands. Every intermediate is still a one-hot
+            # selection of a single stored value, so the bf16 cast is
+            # lossless and the patch values are bit-identical to the
+            # w-major chain.
+            rslab = jnp.einsum(
+                "rph,rhw->rpw", row_sel, padded2,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # [rows, P, pw]
+            patches = jnp.einsum(
+                "rqw,rpw->rqp", col_sel, rslab,
+                preferred_element_type=jnp.float32,
+            )  # [rows, Q(x), P(y)] — x-major
+        else:
+            # stage 1: column (x) selection over the halves; the f32 result
+            # holds pure bf16 values (one-hot selection), so the cast to
+            # bf16 is lossless
+            cslab = jnp.einsum(
+                "rqw,rwh->rqh", col_sel, padded2,
+                preferred_element_type=jnp.float32,
+            )  # [rows, Q, halves*ph]
+            cslab = cslab.astype(jnp.bfloat16).reshape(
+                rows, patch * halves, ph
+            )
+            # stage 2: row (y) selection per half, then recombine hi + lo.
+            # Output is [rows, Q(x), P(y)] — x-major, matching the
+            # reference's channel order without a final transpose.
+            patches2 = jnp.einsum(
+                "rth,rph->rtp", cslab, row_sel,
+                preferred_element_type=jnp.float32,
+            ).reshape(rows, patch, halves, patch)
+            patches = jnp.sum(patches2, axis=2)
         if halves == 1:
             # bf16/int8 storage: each patch entry is a one-hot selection of a
             # bf16-exact value, so this cast is LOSSLESS — and it halves the
@@ -468,6 +518,20 @@ def corr_lookup_2d_padded(
         sampled = blended.reshape(rows, span * span)
         out_pyramid.append(sampled.reshape(batch, height, width, span * span))
     return jnp.concatenate(out_pyramid, axis=-1)
+
+
+def lookup_hmajor_enabled() -> bool:
+    """Trace-time switch for h-major fast-path lookup storage + flipped
+    contraction order (row selection first — the fat stage-1 einsum emits
+    w lanes: 94% MXU columns at the flagship level-0 w=120 vs 53% at h=68).
+    Exact-path values are bit-identical (one-hot selections); applies to
+    int8/bf16 storage only — split (training/exact) keeps w-major. Default
+    OFF until the on-chip timing A/B passes (CLAUDE.md hard rule). Export
+    CAMLIFLOW_LOOKUP_HMAJOR=1 to enable. Probe: tools/probe_lookup_layout.py.
+    """
+    import os
+
+    return os.environ.get("CAMLIFLOW_LOOKUP_HMAJOR", "0") != "0"
 
 
 def lookup_fold_enabled() -> bool:

@@ -256,6 +256,96 @@ def test_corr_lookup_gradient_parity(rng):
 
 
 @pytest.mark.parametrize("storage", ["bf16", "int8"])
+def test_corr_lookup_hmajor_bit_identical(rng, storage, monkeypatch):
+    """CAMLIFLOW_LOOKUP_HMAJOR=1: h-major storage + flipped contraction order
+    selects exactly the same stored values (one-hot selections are exact in
+    any stage order), so the lookup output is BIT-identical to the w-major
+    fast path of the same storage mode."""
+    from camliflow_tpu.ops.correlation import (
+        corr_lookup_2d_padded,
+        pad_pyramid_for_lookup,
+        padded_pyramid_from_features,
+    )
+
+    f1 = rng.randn(1, 8, 12, 16).astype(np.float32)
+    f2 = rng.randn(1, 8, 12, 16).astype(np.float32)
+    flow = rng.uniform(-3, 3, size=(1, 8, 12, 2)).astype(np.float32)
+    coords = np.asarray(ops.mesh_grid(1, 8, 12)) + flow
+
+    pyr = ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3)
+    want = np.asarray(
+        corr_lookup_2d_padded.__wrapped__(
+            pad_pyramid_for_lookup(pyr, 2, storage=storage),
+            jnp.asarray(coords), 2, storage=storage,
+        )
+    )
+
+    monkeypatch.setenv("CAMLIFLOW_LOOKUP_HMAJOR", "1")
+    hm_pyr = pad_pyramid_for_lookup(pyr, 2, storage=storage)
+    # storage really is h-major: level shapes transpose of the w-major ones
+    lvl0 = hm_pyr[0][0] if storage == "int8" else hm_pyr[0]
+    assert lvl0.shape[1:] == (8, 12)  # [rows, h, w]
+    got = np.asarray(
+        corr_lookup_2d_padded.__wrapped__(
+            hm_pyr, jnp.asarray(coords), 2, storage=storage
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # the fused feature-side builder agrees with the two-step build in
+    # h-major orientation too (same tolerance contract as the w-major test)
+    fused = padded_pyramid_from_features(
+        jnp.asarray(f1), jnp.asarray(f2), num_levels=3, radius=2,
+        storage=storage,
+    )
+    for g, w in zip(fused, hm_pyr):
+        if storage == "int8":
+            (gq, gs), (wq, ws) = g, w
+            assert gq.shape == wq.shape
+            np.testing.assert_allclose(np.asarray(gs), np.asarray(ws),
+                                       rtol=1e-5)
+            gv = np.asarray(gq, np.float32) * np.asarray(gs)[:, None, None]
+            wv = np.asarray(wq, np.float32) * np.asarray(ws)[:, None, None]
+            step = np.asarray(ws)[:, None, None] + 1e-12
+            assert np.max(np.abs(gv - wv) / step) <= 1.0 + 1e-3
+        else:
+            assert g.shape == w.shape
+            gv, wv = np.asarray(g, np.float32), np.asarray(w, np.float32)
+            np.testing.assert_allclose(
+                gv, wv, atol=np.abs(wv).max() * 2.0**-8
+            )
+
+
+@pytest.mark.parametrize("storage", ["bf16", "int8"])
+def test_corr_lookup_fold_hmajor_close_to_exact(rng, storage, monkeypatch):
+    """FOLD + HMAJOR compose: the two-tap blended selection in h-major
+    contraction order stays inside the same envelope as the w-major fold."""
+    monkeypatch.setenv("CAMLIFLOW_LOOKUP_FOLD", "1")
+    monkeypatch.setenv("CAMLIFLOW_LOOKUP_HMAJOR", "1")
+    from camliflow_tpu.ops.correlation import (
+        corr_lookup_2d_padded,
+        pad_pyramid_for_lookup,
+    )
+
+    f1 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    f2 = rng.randn(1, 8, 8, 16).astype(np.float32)
+    flow = rng.uniform(-3, 3, size=(1, 8, 8, 2)).astype(np.float32)
+    coords = np.asarray(ops.mesh_grid(1, 8, 8)) + flow
+
+    pyr = ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3)
+    exact = np.asarray(ops.corr_lookup_2d(pyr, jnp.asarray(coords), radius=2))
+    folded = np.asarray(
+        corr_lookup_2d_padded.__wrapped__(
+            pad_pyramid_for_lookup(pyr, 2, storage=storage),
+            jnp.asarray(coords), 2, storage=storage,
+        )
+    )
+    scale = np.abs(exact).max()
+    bound = (1.0 / 254 if storage == "int8" else 2.0**-8) + 3 * 2.0**-8
+    np.testing.assert_allclose(folded, exact, atol=scale * bound)
+
+
+@pytest.mark.parametrize("storage", ["bf16", "int8"])
 def test_corr_lookup_fold_close_to_exact(rng, storage, monkeypatch):
     """CAMLIFLOW_LOOKUP_FOLD=1: the bf16 two-tap fold (blend riding the
     selection matrices) stays within the combined bf16-weight + storage

@@ -39,6 +39,12 @@ EVAL_COMBOS = [
     ("storage-bf16", {"MEASURE_LOOKUP_STORAGE": "bf16"}),
     ("corr-bf16-out", {"CAMLIFLOW_CORR_BF16_OUT": "1"}),
     ("corr3d-tile128", {"CAMLIFLOW_CORR3D_TILE": "128"}),
+    ("lookup-hmajor", {"CAMLIFLOW_LOOKUP_HMAJOR": "1"}),
+    ("lookup-fold", {"CAMLIFLOW_LOOKUP_FOLD": "1"}),
+    (
+        "lookup-fold-hmajor",
+        {"CAMLIFLOW_LOOKUP_FOLD": "1", "CAMLIFLOW_LOOKUP_HMAJOR": "1"},
+    ),
 ]
 
 TRAIN_COMBOS = [
@@ -59,6 +65,8 @@ _SWEEP_KEYS = (
     "CAMLIFLOW_CORR_BF16_OUT",
     "CAMLIFLOW_CORR3D_TILE",
     "CAMLIFLOW_CORR3D_TRAIN_SELECT",
+    "CAMLIFLOW_LOOKUP_FOLD",
+    "CAMLIFLOW_LOOKUP_HMAJOR",
 )
 
 
