@@ -526,12 +526,15 @@ def lookup_hmajor_enabled() -> bool:
     w lanes: 94% MXU columns at the flagship level-0 w=120 vs 53% at h=68).
     Exact-path values are bit-identical (one-hot selections); applies to
     int8/bf16 storage only — split (training/exact) keeps w-major. Default
-    OFF until the on-chip timing A/B passes (CLAUDE.md hard rule). Export
-    CAMLIFLOW_LOOKUP_HMAJOR=1 to enable. Probe: tools/probe_lookup_layout.py.
+    ON since the on-chip A/B (2026-08-20): standalone level-0 chain 0.537
+    vs 0.599 ms/iter, in-model RAFT 31.7 vs 32.3 ms/frame, flagship neutral
+    (83.4 both legs), both models compiled + executed on v5e per the
+    CLAUDE.md hard rule. Export CAMLIFLOW_LOOKUP_HMAJOR=0 to restore the
+    legacy w-major layout. Probe: tools/probe_lookup_layout.py.
     """
     import os
 
-    return os.environ.get("CAMLIFLOW_LOOKUP_HMAJOR", "0") != "0"
+    return os.environ.get("CAMLIFLOW_LOOKUP_HMAJOR", "1") != "0"
 
 
 def lookup_fold_enabled() -> bool:

@@ -273,6 +273,10 @@ def test_corr_lookup_hmajor_bit_identical(rng, storage, monkeypatch):
     coords = np.asarray(ops.mesh_grid(1, 8, 12)) + flow
 
     pyr = ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3)
+    # pin the legacy layout explicitly for the baseline leg (h-major is the
+    # default since 2026-08-20, so the ambient default would otherwise make
+    # this compare h-major to itself)
+    monkeypatch.setenv("CAMLIFLOW_LOOKUP_HMAJOR", "0")
     want = np.asarray(
         corr_lookup_2d_padded.__wrapped__(
             pad_pyramid_for_lookup(pyr, 2, storage=storage),

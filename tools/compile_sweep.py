@@ -39,11 +39,12 @@ EVAL_COMBOS = [
     ("storage-bf16", {"MEASURE_LOOKUP_STORAGE": "bf16"}),
     ("corr-bf16-out", {"CAMLIFLOW_CORR_BF16_OUT": "1"}),
     ("corr3d-tile128", {"CAMLIFLOW_CORR3D_TILE": "128"}),
-    ("lookup-hmajor", {"CAMLIFLOW_LOOKUP_HMAJOR": "1"}),
+    # h-major is the default since 2026-08-20; guard the legacy layout too
+    ("lookup-wmajor", {"CAMLIFLOW_LOOKUP_HMAJOR": "0"}),
     ("lookup-fold", {"CAMLIFLOW_LOOKUP_FOLD": "1"}),
     (
-        "lookup-fold-hmajor",
-        {"CAMLIFLOW_LOOKUP_FOLD": "1", "CAMLIFLOW_LOOKUP_HMAJOR": "1"},
+        "lookup-fold-wmajor",
+        {"CAMLIFLOW_LOOKUP_FOLD": "1", "CAMLIFLOW_LOOKUP_HMAJOR": "0"},
     ),
 ]
 
