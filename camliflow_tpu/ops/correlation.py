@@ -494,6 +494,44 @@ def corr_lookup_2d_padded(
             # hi+lo halves and must stay f32.
             patches = patches.astype(jnp.bfloat16)
 
+        if storage != "split" and lookup_mmblend_enabled():
+            # Matmul blend: the strided-slice blend below forces a
+            # {2,1,0}->{0,2,1} relayout of the [rows, Q, P] einsum output
+            # (the blend fusion vectorises rows-minor; 3.65 ms/frame on the
+            # flagship compute line). Selecting the 4 bilinear corners with
+            # ONE constant 0/1 matmul keeps the whole chain in the matmul
+            # layout domain — no relayout, no slice fusion. Values are
+            # BIT-identical: a 0/1 selection of a bf16 value is exact in the
+            # f32 accumulator, and the weighted 4-term sum below multiplies
+            # and associates in exactly the slice-blend's order. Unlike the
+            # adjudicated-negative two-tap FOLD (which made the *selection*
+            # matrices heavier: round-3/4 in-model losses), the selection
+            # einsums are untouched; only the elementwise blend moves onto
+            # the MXU ([rows,100]x[100,324] ~ 0.5 GFLOP/iter, MXU-trivial).
+            flat = patches.reshape(rows, patch * patch)
+            corners = jnp.einsum(
+                "rt,tc->rc",
+                flat,
+                _corner_blend_matrix(patch, span),
+                preferred_element_type=jnp.float32,
+            ).reshape(rows, 4, span * span)
+            fx2 = fx[:, :, 0]  # [rows, 1]
+            fy2 = fy[:, :, 0]
+            blended = (
+                (1.0 - fx2) * (1.0 - fy2) * corners[:, 0]
+                + (1.0 - fx2) * fy2 * corners[:, 1]
+                + fx2 * (1.0 - fy2) * corners[:, 2]
+                + fx2 * fy2 * corners[:, 3]
+            )  # [rows, span*span] — x-major flat channels
+            if scale is not None:
+                blended = blended * scale[:, None]
+            if corr_bf16_out_enabled():
+                blended = blended.astype(jnp.bfloat16)
+            out_pyramid.append(
+                blended.reshape(batch, height, width, span * span)
+            )
+            continue
+
         blended = (
             (1.0 - fx) * (1.0 - fy) * patches[:, :-1, :-1]
             + (1.0 - fx) * fy * patches[:, :-1, 1:]
@@ -518,6 +556,45 @@ def corr_lookup_2d_padded(
         sampled = blended.reshape(rows, span * span)
         out_pyramid.append(sampled.reshape(batch, height, width, span * span))
     return jnp.concatenate(out_pyramid, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _corner_blend_matrix(patch: int, span: int):
+    """Constant 0/1 corner-selection matrix for the matmul blend.
+
+    C[q*patch + p, f*span^2 + i*span + j] = 1 iff (q, p) is bilinear corner
+    f of blended output channel (i, j): corner order (dy, dx) in
+    ((0,0), (0,1), (1,0), (1,1)) with q = i + dx_f... specifically corner f
+    selects (q, p) = (i + a_f, j + b_f) for (a, b) in
+    ((0,0), (0,1), (1,0), (1,1)) — matching the slice blend's term order
+    ((:-1,:-1), (:-1,1:), (1:,:-1), (1:,1:)). bf16 entries are exact; the
+    matrix is tiny ([patch^2, 4*span^2] = 65 KB at radius 4) and embeds in
+    the HLO as a constant.
+    """
+    import numpy as np
+
+    mat = np.zeros((patch * patch, 4 * span * span), np.float32)
+    for f, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        for i in range(span):
+            for j in range(span):
+                mat[(i + a) * patch + (j + b), f * span * span + i * span + j] = 1.0
+    return jnp.asarray(mat, jnp.bfloat16)
+
+
+def lookup_mmblend_enabled() -> bool:
+    """Trace-time switch for the matmul bilinear blend in the fast-path 2D
+    lookup (int8/bf16 storages): select the 4 bilinear corners of every
+    blended channel with one constant 0/1 MXU matmul instead of strided
+    slices, eliminating the {2,1,0}->{0,2,1} relayout copy between the
+    selection einsum and the blend fusion (3.65 ms/frame on the flagship
+    compute line, tools/trace_compute_line.py 2026-08-20). Values are
+    bit-identical to the slice blend (pinned by tests). Default OFF until
+    the on-chip A/B passes (CLAUDE.md hard rule). Export
+    CAMLIFLOW_LOOKUP_MMBLEND=1 to enable.
+    """
+    import os
+
+    return os.environ.get("CAMLIFLOW_LOOKUP_MMBLEND", "0") != "0"
 
 
 def lookup_hmajor_enabled() -> bool:

@@ -321,6 +321,42 @@ def test_corr_lookup_hmajor_bit_identical(rng, storage, monkeypatch):
 
 
 @pytest.mark.parametrize("storage", ["bf16", "int8"])
+@pytest.mark.parametrize("hmajor", ["0", "1"])
+def test_corr_lookup_mmblend_bit_identical(rng, storage, hmajor, monkeypatch):
+    """CAMLIFLOW_LOOKUP_MMBLEND=1: the constant 0/1 corner-selection matmul
+    blend produces BIT-identical output to the strided-slice blend — corner
+    selection of a bf16 value is exact in the f32 accumulator, and the
+    weighted 4-term sum multiplies/associates in the slice blend's order."""
+    from camliflow_tpu.ops.correlation import (
+        corr_lookup_2d_padded,
+        pad_pyramid_for_lookup,
+    )
+
+    f1 = rng.randn(1, 8, 12, 16).astype(np.float32)
+    f2 = rng.randn(1, 8, 12, 16).astype(np.float32)
+    flow = rng.uniform(-6, 6, size=(1, 8, 12, 2)).astype(np.float32)
+    coords = np.asarray(ops.mesh_grid(1, 8, 12)) + flow
+
+    monkeypatch.setenv("CAMLIFLOW_LOOKUP_HMAJOR", hmajor)
+    pyr = ops.all_pairs_correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 3)
+    padded = pad_pyramid_for_lookup(pyr, 2, storage=storage)
+
+    monkeypatch.setenv("CAMLIFLOW_LOOKUP_MMBLEND", "0")
+    want = np.asarray(
+        corr_lookup_2d_padded.__wrapped__(
+            padded, jnp.asarray(coords), 2, storage=storage
+        )
+    )
+    monkeypatch.setenv("CAMLIFLOW_LOOKUP_MMBLEND", "1")
+    got = np.asarray(
+        corr_lookup_2d_padded.__wrapped__(
+            padded, jnp.asarray(coords), 2, storage=storage
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("storage", ["bf16", "int8"])
 def test_corr_lookup_fold_hmajor_close_to_exact(rng, storage, monkeypatch):
     """FOLD + HMAJOR compose: the two-tap blended selection in h-major
     contraction order stays inside the same envelope as the w-major fold."""

@@ -41,6 +41,7 @@ EVAL_COMBOS = [
     ("corr3d-tile128", {"CAMLIFLOW_CORR3D_TILE": "128"}),
     # h-major is the default since 2026-08-20; guard the legacy layout too
     ("lookup-wmajor", {"CAMLIFLOW_LOOKUP_HMAJOR": "0"}),
+    ("lookup-mmblend", {"CAMLIFLOW_LOOKUP_MMBLEND": "1"}),
     ("lookup-fold", {"CAMLIFLOW_LOOKUP_FOLD": "1"}),
     (
         "lookup-fold-wmajor",
@@ -68,6 +69,7 @@ _SWEEP_KEYS = (
     "CAMLIFLOW_CORR3D_TRAIN_SELECT",
     "CAMLIFLOW_LOOKUP_FOLD",
     "CAMLIFLOW_LOOKUP_HMAJOR",
+    "CAMLIFLOW_LOOKUP_MMBLEND",
 )
 
 
