@@ -215,14 +215,36 @@ class Correlation3D(nn.Module):
             )
         if pyramid_scale is not None:
             knn_cost = knn_cost.astype(jnp.float32) * pyramid_scale
+        from ..ops.pallas_corr3d import corr3d_flat_tail_enabled
+
         knn_xyz2 = gather_points(xyz2_warp_full, idx_cat)  # [B, N, L*k, 3]
-        payload = jnp.concatenate(
-            [
-                (knn_xyz2 - xyz1[:, :, None, :]).astype(jnp.float32),
-                knn_cost[..., None],
-            ],
-            axis=-1,
-        )
+        if corr3d_flat_tail_enabled():
+            # Flat-payload tail: build rel_xyz||cost as [B, N*L*k, 4]
+            # instead of [B, N, L*k, 4]. The 4-D form draws a
+            # {3,2,1,0}->{1,3,2,0} relayout copy on the rel-xyz tensor
+            # (0.94 ms/frame on both RAFT cores' compute lines,
+            # tools/trace_compute_line.py 2026-08-20): the concat/MLP
+            # consumer vectorises N-minor while the gather emits row-major.
+            # In the flat form the row dim is B*N*L*k and every consumer
+            # (subtract, concat, Dense matmul) shares the same 2-D row-major
+            # layout. Values are bit-identical (reshape + an equivalent
+            # broadcast; the Dense contracts the same last dim) — pinned by
+            # tests/test_pallas_corr3d.py.
+            b, n, lk = idx_cat.shape
+            rel = knn_xyz2.reshape(b, n * lk, 3).astype(
+                jnp.float32
+            ) - jnp.repeat(xyz1.astype(jnp.float32), lk, axis=1)
+            payload = jnp.concatenate(
+                [rel, knn_cost.reshape(b, n * lk)[..., None]], axis=-1
+            )
+        else:
+            payload = jnp.concatenate(
+                [
+                    (knn_xyz2 - xyz1[:, :, None, :]).astype(jnp.float32),
+                    knn_cost[..., None],
+                ],
+                axis=-1,
+            )
 
         cost_mlp = MLP(
             [self.out_channels // 4, self.out_channels // 4],

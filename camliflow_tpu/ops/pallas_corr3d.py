@@ -597,6 +597,30 @@ def corr3d_train_select_enabled() -> bool:
     return os.environ.get("CAMLIFLOW_CORR3D_TRAIN_SELECT", "1") != "0"
 
 
+def corr3d_flat_tail_enabled() -> bool:
+    """Trace-time switch: build the XLA Correlation3D tail payload
+    (rel_xyz || cost) in FLAT [B, N*L*k, 4] form instead of
+    [B, N, L*k, 4]. The 4-D form draws a {3,2,1,0}->{1,3,2,0} relayout
+    copy on the rel-xyz tensor (0.94 ms/frame on both RAFT cores,
+    compute-line trace 2026-08-20); the 2-D row-major form gives every
+    consumer (subtract, concat, cost-MLP matmul) one shared layout.
+    Bit-identical values (reshape + equivalent broadcast; pinned by
+    tests/test_pallas_corr3d.py).
+
+    ADJUDICATED NEGATIVE on-chip (2026-08-20, v5e, fresh processes,
+    10 steps): camliraft_l 47.3 -> 51.8 ms/frame (-10%), camliraft
+    82.9 -> 87.4 (-5%). The jnp.repeat materialisation of xyz1 over
+    L*k rows plus the widened [B, N*L*k, C] MLP launch cost more than
+    the 0.94 ms relayout they remove — same verdict family as the three
+    blend restructures: XLA's layout assignment around the 4-D tail is
+    the local optimum. Stays default OFF permanently on this toolchain;
+    tests pin semantics. Export CAMLIFLOW_CORR3D_FLAT_TAIL=1 to enable.
+    """
+    import os
+
+    return os.environ.get("CAMLIFLOW_CORR3D_FLAT_TAIL", "0") != "0"
+
+
 def corr3d_tail_enabled() -> bool:
     """Trace-time switch for the fused Correlation3D tail kernel.
 

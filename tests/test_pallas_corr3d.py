@@ -277,3 +277,40 @@ def test_fused_tail_matches_xla_tail(rng):
     np.testing.assert_allclose(
         np.asarray(got8), np.asarray(want8), rtol=1e-4, atol=1e-5
     )
+
+
+def test_module_flat_tail_bit_identical(rng, monkeypatch):
+    """CAMLIFLOW_CORR3D_FLAT_TAIL=1: the flat [B, N*L*k, 4] payload tail
+    produces BIT-identical Correlation3D output to the 4-D payload — the
+    reshape + repeat-broadcast are value-preserving and the cost MLP
+    contracts the same last dim row-for-row."""
+    xyz1, xyz2, level_sizes, pyramid = _make_case(rng)
+    module = Correlation3D(out_channels=64, k=8)
+    variables = module.init(
+        jax.random.PRNGKey(0), xyz1, xyz2, level_sizes, pyramid
+    )
+
+    monkeypatch.setenv("CAMLIFLOW_CORR3D_FLAT_TAIL", "0")
+    want = module.apply(variables, xyz1, xyz2, level_sizes, pyramid)
+    monkeypatch.setenv("CAMLIFLOW_CORR3D_FLAT_TAIL", "1")
+    got = module.apply(variables, xyz1, xyz2, level_sizes, pyramid)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # gradients agree to f32 sum-order: the repeat VJP segment-sums the
+    # xyz1 cotangent in a different accumulation order than the 4-D
+    # broadcast VJP (~1e-5 relative on this case)
+    def loss(v, flag):
+        monkeypatch.setenv("CAMLIFLOW_CORR3D_FLAT_TAIL", flag)
+        return jnp.sum(
+            module.apply(v, xyz1, xyz2, level_sizes, pyramid, train=True) ** 2
+        )
+
+    g0 = jax.grad(loss)(variables, "0")
+    g1 = jax.grad(loss)(variables, "1")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        g0,
+        g1,
+    )
