@@ -33,7 +33,7 @@ from ..ops.geometry import (
     knn_interpolation,
 )
 from ..ops.ids import make_parallel_camera_info, paral2persp, persp2paral
-from ..nn.layers import MLP, DenseNormAct, dense
+from ..nn.layers import MLP, DenseNormAct, compute_precision, dense
 from ..nn.point_conv import PointConv, PointConvDW, paired_dw_conv
 from .losses import calc_sequence_loss
 from .metrics import compute_3d_metrics, merge_metrics, scalar_metric
@@ -716,14 +716,19 @@ class CamLiRAFTL(nn.Module):
         n_samples = tuple(
             self.cfgs.get("n_samples_list", (4096, 2048, 1024, 512, 256))
         )
-        flow_seq = CamLiRAFTLCore(
-            n_iters=n_iters,
-            scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
-            n_samples_list=n_samples,
-            final_only=not self.train_mode,
-            fast_inference=str(self.cfgs.get("fast_inference", "auto")),
-            name="core",
-        )(pc1, pc2, train=train)
+        # compute_dtype='bfloat16' switches Dense/Conv computation to bf16
+        # (params f32) exactly as the flagship does (camliraft.py), a no-op
+        # context when unset — the reference evals autocast-disabled, so
+        # float32 stays the default (conf/model/camliraft_l.yaml).
+        with compute_precision(self.cfgs.get("compute_dtype")):
+            flow_seq = CamLiRAFTLCore(
+                n_iters=n_iters,
+                scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
+                n_samples_list=n_samples,
+                final_only=not self.train_mode,
+                fast_inference=str(self.cfgs.get("fast_inference", "auto")),
+                name="core",
+            )(pc1, pc2, train=train)
 
         if has_da:
             def inv_map(flow):

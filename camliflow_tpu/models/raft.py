@@ -26,7 +26,7 @@ from ..ops.correlation import (
     resolve_lookup_storage,
 )
 from ..ops.image import InputPadder, convex_upsample, mesh_grid
-from ..nn.layers import compute_dtype, dense, torch_kernel_init
+from ..nn.layers import compute_dtype, compute_precision, dense, torch_kernel_init
 from ..nn.resnet import ResNetEncoder2D
 from .losses import calc_sequence_loss
 from .metrics import compute_2d_metrics, merge_metrics, scalar_metric
@@ -287,15 +287,16 @@ class RAFT(nn.Module):
             depth = self.cfgs["pretrain"]["depth"]
         else:
             depth = 50
-        flow_seq = RAFTCore(
-            n_iters=n_iters,
-            scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
-            backbone_depth=depth,
-            final_only=not self.train_mode,
-            fast_inference=str(self.cfgs.get("fast_inference", "auto")),
-            lookup_storage=str(self.cfgs.get("lookup_storage", "auto")),
-            name="core",
-        )(image1, image2, train=train)
+        with compute_precision(self.cfgs.get("compute_dtype")):
+            flow_seq = RAFTCore(
+                n_iters=n_iters,
+                scan_unroll=int(self.cfgs.get("scan_unroll", 1)),
+                backbone_depth=depth,
+                final_only=not self.train_mode,
+                fast_inference=str(self.cfgs.get("fast_inference", "auto")),
+                lookup_storage=str(self.cfgs.get("lookup_storage", "auto")),
+                name="core",
+            )(image1, image2, train=train)
 
         flow_seq = jax.vmap(padder.unpad)(flow_seq)
         return {"flow_2d": flow_seq[-1], "flow_2d_seq": flow_seq}

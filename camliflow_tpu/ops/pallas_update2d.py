@@ -556,6 +556,13 @@ def update_2d_pallas(
         pl.BlockSpec(p.shape, lambda b, n=p.ndim: (0,) * n, memory_space=pltpu.VMEM)
         for p in params
     ]
+    # Under opt-in bf16 compute (cfgs compute_dtype='bfloat16') the hidden /
+    # context inputs arrive bf16 and Mosaic's widening buffers push the
+    # kernel's scoped-vmem stack to 105.5M — past the 100M default-path
+    # limit (measured 2026-08-20, raft 960x540). Bump the limit only for
+    # that mixed-dtype trace; the f32 default path keeps the exact literal
+    # it was hardware-validated with.
+    any_bf16_data = any(a.dtype == jnp.bfloat16 for a in (h, x2d, corr, flow))
     h_out, delta = pl.pallas_call(
         functools.partial(_update2d_kernel, width=width),
         out_shape=(
@@ -569,7 +576,7 @@ def update_2d_pallas(
             pl.BlockSpec((1, hw, 2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=(112 if any_bf16_data else 100) * 1024 * 1024
         ),
         interpret=interpret,
     )(*data, *params)

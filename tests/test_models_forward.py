@@ -186,3 +186,42 @@ def test_camlipwc_l_losses(rng):
     )
     assert np.isfinite(loss)
     assert out["flow_3d"].shape == (1, 512, 3)
+
+
+def test_compute_dtype_plumb_raft_camliraft_l(rng):
+    """cfgs['compute_dtype']='bfloat16' reaches the RAFT and CamLiRAFT-L
+    cores (raft.py / camliraft_l.py wrap the core in compute_precision,
+    mirroring the flagship camliraft.py): outputs stay float32, values
+    move (proving the context is live) but only at bf16-rounding scale.
+    The shipped configs keep float32 — the reference evals
+    autocast-disabled (models/utils.py:262)."""
+    inputs = make_inputs(rng)
+
+    raft_cfg = {
+        "name": "raft",
+        "backbone": {"depth": 18},
+        "n_iters_train": 2,
+        "n_iters_eval": 2,
+        "loss": {"gamma": 0.8, "order": "l2-norm"},
+    }
+    l_cfg = {
+        "name": "camliraft_l",
+        "ids": {"enabled": True},
+        "n_iters_train": 2,
+        "n_iters_eval": 2,
+        "loss": {"gamma": 0.8, "order": "l2-norm"},
+        "n_samples_list": SAMPLES,
+    }
+    for module, loss_fn, cfg, key in [
+        (raft.RAFT, raft.loss_fn, raft_cfg, "flow_2d"),
+        (camliraft_l.CamLiRAFTL, camliraft_l.loss_fn, l_cfg, "flow_3d"),
+    ]:
+        out32, _, _ = run_model(module, loss_fn, Config(dict(cfg)), inputs)
+        cfg_bf16 = dict(cfg)
+        cfg_bf16["compute_dtype"] = "bfloat16"
+        out16, loss16, _ = run_model(module, loss_fn, Config(cfg_bf16), inputs)
+        assert out16[key].dtype == jnp.float32
+        diff = float(jnp.max(jnp.abs(out16[key] - out32[key])))
+        scale = float(jnp.mean(jnp.abs(out32[key]))) + 1e-8
+        assert 0.0 < diff < max(0.05, 0.1 * scale), (key, diff, scale)
+        assert np.isfinite(loss16)
